@@ -1,0 +1,372 @@
+"""Bounding-box encodings (7-DoF) — host (numpy) and device (jnp) paths.
+
+Capability parity with /root/reference/models/box_encoding.py: six
+registered encode/decode pairs with identical numerics —
+
+    direct_encoding                              (:5-9)
+    center_box_encoding                          (:11-21)
+    voxelnet_box_encoding                        (:23-71)
+    classaware_voxelnet_box_encoding             (:73-208)
+    classaware_all_class_box_encoding            (:231-299)
+    classaware_all_class_box_canonical_encoding  (:301-395)
+
+Design difference (TPU-first): instead of boolean-mask loops over class
+*names*, every class-aware method is driven by per-class-id lookup
+tables ``(sizes [C,3], yaw_offset [C], active [C])``, which makes the
+decode step a pure gather — vectorizable on host and directly jittable
+on device (see :func:`classaware_decode_jax`).  All functions are pure
+(the reference mutates inputs in place; we never do).
+"""
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+HALF_PI = 0.5 * np.pi
+QUARTER_PI = 0.25 * np.pi
+
+# Median KITTI object dimensions (l, h, w), same public statistics as
+# box_encoding.py:210-220.
+MEDIAN_OBJECT_SIZE = {
+    "Cyclist": (1.76, 1.75, 0.6),
+    "Van": (4.98, 2.13, 1.88),
+    "Tram": (14.66, 3.61, 2.6),
+    "Car": (3.88, 1.5, 1.63),
+    "Misc": (2.52, 1.65, 1.51),
+    "Pedestrian": (0.88, 1.77, 0.65),
+    "Truck": (10.81, 3.34, 2.63),
+    "Person_sitting": (0.75, 1.26, 0.59),
+}
+
+# Fixed table used by the (class-aware) voxelnet encodings
+# (box_encoding.py:29-43, 86-138): 8 ids, car/ped/cyc with hand-picked
+# anchor sizes.
+_VOXELNET_SIZES = {
+    "Car": (3.9, 1.56, 1.6),
+    "Pedestrian": (0.8, 1.73, 0.6),
+    "Cyclist": (1.76, 1.73, 0.6),
+}
+
+
+def build_class_tables(
+    label_map: Dict[str, int], num_ids: int = None, size_map: Dict = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build per-class-id lookup tables from a name→id label map.
+
+    ``label_map`` maps a class name to its *horizontal* id; the vertical
+    sub-class is ``id + 1`` (kitti_dataset.py:1140-1146 convention).
+    Background / DontCare ids stay inactive: their rows pass through the
+    encoder untransformed except for the xyz offset.
+
+    Returns ``(sizes [C,3] float32, yaw_offset [C] float32,
+    active [C] bool)``.
+    """
+    if size_map is None:
+        size_map = MEDIAN_OBJECT_SIZE
+    if num_ids is None:
+        num_ids = max(label_map.values()) + 1
+    sizes = np.ones((num_ids, 3), dtype=np.float64)
+    yaw_offset = np.zeros((num_ids,), dtype=np.float64)
+    active = np.zeros((num_ids,), dtype=bool)
+    for name, cls_id in label_map.items():
+        if name in ("Background", "DontCare"):
+            continue
+        if name not in size_map:
+            continue
+        l, h, w = size_map[name]
+        for offset, yoff in ((0, 0.0), (1, HALF_PI)):
+            idx = cls_id + offset
+            if idx < num_ids:
+                sizes[idx] = (l, h, w)
+                yaw_offset[idx] = yoff
+                active[idx] = True
+    return sizes, yaw_offset, active
+
+
+def _lookup(cls_labels, sizes, yaw_offset, active):
+    raw = np.asarray(cls_labels).reshape(-1)
+    in_range = (raw >= 0) & (raw < len(active))
+    ids = np.clip(raw, 0, len(active) - 1)
+    return sizes[ids], yaw_offset[ids], active[ids] & in_range
+
+
+# --------------------------------------------------------------------------
+# direct / center (box_encoding.py:5-21) — pure versions
+# --------------------------------------------------------------------------
+
+def direct_box_encoding(cls_labels, points_xyz, boxes_3d, label_map=None):
+    return np.array(boxes_3d, copy=True)
+
+
+def direct_box_decoding(cls_labels, points_xyz, encoded_boxes, label_map=None):
+    return np.array(encoded_boxes, copy=True)
+
+
+def center_box_encoding(cls_labels, points_xyz, boxes_3d, label_map=None):
+    out = np.array(boxes_3d, copy=True)
+    out[..., 0:3] = out[..., 0:3] - _broadcast_points(points_xyz, out)
+    return out
+
+
+def center_box_decoding(cls_labels, points_xyz, encoded_boxes, label_map=None):
+    out = np.array(encoded_boxes, copy=True)
+    out[..., 0:3] = out[..., 0:3] + _broadcast_points(points_xyz, out)
+    return out
+
+
+def _broadcast_points(points_xyz, boxes):
+    """Broadcast [N,3] vertex coords against [N,7] or [N,C,7] boxes."""
+    pts = np.asarray(points_xyz)
+    if boxes.ndim == 3:
+        return pts[:, None, :]
+    return pts
+
+
+# --------------------------------------------------------------------------
+# voxelnet (non-classaware, 4 class ids, shared yaw norm)
+# box_encoding.py:23-71
+# --------------------------------------------------------------------------
+
+_VOXELNET_FLAT_SIZES = np.ones((4, 3), dtype=np.float64)
+_VOXELNET_FLAT_ACTIVE = np.zeros((4,), dtype=bool)
+for _id, _name in ((2, "Car"), (1, "Pedestrian"), (3, "Pedestrian")):
+    _VOXELNET_FLAT_SIZES[_id] = _VOXELNET_SIZES[_name]
+    _VOXELNET_FLAT_ACTIVE[_id] = True
+
+
+def voxelnet_box_encoding(cls_labels, points_xyz, boxes_3d, label_map=None):
+    """[N,7] boxes; car/ped/cyc anchor-normalized, yaw /= pi/2 for all."""
+    out = np.array(boxes_3d, dtype=np.float64, copy=True)
+    out[:, 0:3] -= np.asarray(points_xyz)
+    sz, _, act = _lookup(
+        cls_labels, _VOXELNET_FLAT_SIZES, np.zeros(4), _VOXELNET_FLAT_ACTIVE
+    )
+    out[:, 0:3] = np.where(act[:, None], out[:, 0:3] / sz, out[:, 0:3])
+    out[:, 3:6] = np.where(
+        act[:, None], np.log(np.maximum(out[:, 3:6], 1e-12) / sz), out[:, 3:6]
+    )
+    out[:, 6] = out[:, 6] / HALF_PI
+    return out
+
+
+def voxelnet_box_decoding(cls_labels, points_xyz, encoded_boxes, label_map=None):
+    out = np.array(encoded_boxes, dtype=np.float64, copy=True)
+    sz, _, act = _lookup(
+        cls_labels, _VOXELNET_FLAT_SIZES, np.zeros(4), _VOXELNET_FLAT_ACTIVE
+    )
+    out[:, 0:3] = np.where(act[:, None], out[:, 0:3] * sz, out[:, 0:3])
+    out[:, 3:6] = np.where(act[:, None], np.exp(out[:, 3:6]) * sz, out[:, 3:6])
+    out[:, 0:3] += np.asarray(points_xyz)
+    out[:, 6] = out[:, 6] * HALF_PI
+    return out
+
+
+# --------------------------------------------------------------------------
+# Generic class-aware encoding over [N, 1, 7] boxes
+# --------------------------------------------------------------------------
+
+def _classaware_encode(cls_labels, points_xyz, boxes_3d, tables):
+    sizes, yaw_offset, active = tables
+    boxes = np.asarray(boxes_3d, dtype=np.float64)
+    out = np.array(boxes, copy=True)
+    pts = _broadcast_points(points_xyz, out)
+    out[..., 0:3] = boxes[..., 0:3] - pts
+    sz, yoff, act = _lookup(cls_labels, sizes, yaw_offset, active)
+    b = boxes[:, 0, :]
+    o = out[:, 0, :]
+    enc_xyz = o[:, 0:3] / sz
+    enc_lhw = np.log(np.maximum(b[:, 3:6], 1e-12) / sz)
+    enc_yaw = (b[:, 6] - yoff) / QUARTER_PI
+    out[:, 0, 0:3] = np.where(act[:, None], enc_xyz, o[:, 0:3])
+    out[:, 0, 3:6] = np.where(act[:, None], enc_lhw, o[:, 3:6])
+    out[:, 0, 6] = np.where(act, enc_yaw, o[:, 6])
+    return out
+
+
+def _classaware_decode(cls_labels, points_xyz, encoded_boxes, tables):
+    sizes, yaw_offset, active = tables
+    enc = np.asarray(encoded_boxes, dtype=np.float64)
+    out = np.array(enc, copy=True)
+    sz, yoff, act = _lookup(cls_labels, sizes, yaw_offset, active)
+    e = enc[:, 0, :]
+    out[:, 0, 0:3] = np.where(act[:, None], e[:, 0:3] * sz, e[:, 0:3])
+    out[:, 0, 3:6] = np.where(act[:, None], np.exp(e[:, 3:6]) * sz, e[:, 3:6])
+    out[:, 0, 6] = np.where(act, e[:, 6] * QUARTER_PI + yoff, e[:, 6])
+    pts = _broadcast_points(points_xyz, out)
+    out[..., 0:3] = out[..., 0:3] + pts
+    return out
+
+
+# classaware voxelnet: fixed 8-id table (box_encoding.py:73-208)
+_CA_VOXELNET_TABLES = build_class_tables(
+    {"Background": 0, "Car": 1, "Pedestrian": 3, "Cyclist": 5, "DontCare": 7},
+    num_ids=8,
+    size_map=_VOXELNET_SIZES,
+)
+
+
+def classaware_voxelnet_box_encoding(
+    cls_labels, points_xyz, boxes_3d, label_map=None
+):
+    return _classaware_encode(
+        cls_labels, points_xyz, boxes_3d, _CA_VOXELNET_TABLES
+    )
+
+
+def classaware_voxelnet_box_decoding(
+    cls_labels, points_xyz, encoded_boxes, label_map=None
+):
+    return _classaware_decode(
+        cls_labels, points_xyz, encoded_boxes, _CA_VOXELNET_TABLES
+    )
+
+
+def classaware_all_class_box_encoding(
+    cls_labels, points_xyz, boxes_3d, label_map
+):
+    tables = build_class_tables(label_map)
+    return _classaware_encode(cls_labels, points_xyz, boxes_3d, tables)
+
+
+def classaware_all_class_box_decoding(
+    cls_labels, points_xyz, encoded_boxes, label_map
+):
+    tables = build_class_tables(label_map)
+    return _classaware_decode(cls_labels, points_xyz, encoded_boxes, tables)
+
+
+# --------------------------------------------------------------------------
+# canonical variant: xz offset rotated into the box frame
+# (box_encoding.py:301-395)
+# --------------------------------------------------------------------------
+
+def classaware_all_class_box_canonical_encoding(
+    cls_labels, points_xyz, boxes_3d, label_map
+):
+    sizes, yaw_offset, active = build_class_tables(label_map)
+    boxes = np.asarray(boxes_3d, dtype=np.float64)
+    out = np.array(boxes, copy=True)
+    pts = _broadcast_points(points_xyz, out)
+    out[..., 0:3] = boxes[..., 0:3] - pts
+    sz, yoff, act = _lookup(cls_labels, sizes, yaw_offset, active)
+    b = boxes[:, 0, :]
+    d = out[:, 0, :].copy()  # offset-only values
+    angle = b[:, 6] - yoff
+    ca, sa = np.cos(angle), np.sin(angle)
+    # Rotate the horizontal offset into the box frame.  For vertical
+    # sub-classes the l/w normalizers swap (box_encoding.py:331-337):
+    # use sz rows but swap columns 0<->2 when yaw_offset is pi/2.
+    vert = yoff > 0.0
+    norm0 = np.where(vert, sz[:, 2], sz[:, 0])
+    norm2 = np.where(vert, sz[:, 0], sz[:, 2])
+    enc0 = (d[:, 0] * ca - d[:, 2] * sa) / norm0
+    enc1 = d[:, 1] / sz[:, 1]
+    enc2 = (d[:, 0] * sa + d[:, 2] * ca) / norm2
+    enc_lhw = np.log(np.maximum(b[:, 3:6], 1e-12) / sz)
+    enc_yaw = angle / QUARTER_PI
+    out[:, 0, 0] = np.where(act, enc0, d[:, 0])
+    out[:, 0, 1] = np.where(act, enc1, d[:, 1])
+    out[:, 0, 2] = np.where(act, enc2, d[:, 2])
+    out[:, 0, 3:6] = np.where(act[:, None], enc_lhw, d[:, 3:6])
+    out[:, 0, 6] = np.where(act, enc_yaw, d[:, 6])
+    return out
+
+
+def classaware_all_class_box_canonical_decoding(
+    cls_labels, points_xyz, encoded_boxes, label_map
+):
+    sizes, yaw_offset, active = build_class_tables(label_map)
+    enc = np.asarray(encoded_boxes, dtype=np.float64)
+    out = np.array(enc, copy=True)
+    sz, yoff, act = _lookup(cls_labels, sizes, yaw_offset, active)
+    e = enc[:, 0, :]
+    angle = e[:, 6] * QUARTER_PI
+    ca, sa = np.cos(angle), np.sin(angle)
+    vert = yoff > 0.0
+    norm0 = np.where(vert, sz[:, 2], sz[:, 0])
+    norm2 = np.where(vert, sz[:, 0], sz[:, 2])
+    dec0 = e[:, 0] * norm0 * ca + e[:, 2] * norm2 * sa
+    dec2 = -e[:, 0] * norm0 * sa + e[:, 2] * norm2 * ca
+    out[:, 0, 0] = np.where(act, dec0, e[:, 0])
+    out[:, 0, 1] = np.where(act, e[:, 1] * sz[:, 1], e[:, 1])
+    out[:, 0, 2] = np.where(act, dec2, e[:, 2])
+    out[:, 0, 3:6] = np.where(act[:, None], np.exp(e[:, 3:6]) * sz, e[:, 3:6])
+    out[:, 0, 6] = np.where(act, angle + yoff, e[:, 6])
+    pts = _broadcast_points(points_xyz, out)
+    out[..., 0:3] = out[..., 0:3] + pts
+    return out
+
+
+# --------------------------------------------------------------------------
+# Device-side decode (jit-compatible) for the class-aware table methods.
+# --------------------------------------------------------------------------
+
+def classaware_decode_jax(cls_ids, points_xyz, encoded, tables):
+    """Decode [N, 7] encoded boxes on device.
+
+    Args:
+      cls_ids: [N] int32 class ids.
+      points_xyz: [N, 3] vertex coordinates.
+      encoded: [N, 7] encoded boxes (one class column already selected).
+      tables: ``(sizes [C,3], yaw_offset [C], active [C])`` numpy tables
+        from :func:`build_class_tables`; they become compile-time
+        constants under jit.
+    Returns: [N, 7] decoded boxes.
+    """
+    import jax.numpy as jnp
+
+    sizes, yaw_offset, active = tables
+    sizes = jnp.asarray(sizes, jnp.float32)
+    yaw_offset = jnp.asarray(yaw_offset, jnp.float32)
+    active = jnp.asarray(active)
+    ids = jnp.clip(cls_ids, 0, sizes.shape[0] - 1)
+    sz = sizes[ids]
+    yoff = yaw_offset[ids]
+    act = active[ids]
+    xyz = jnp.where(act[:, None], encoded[:, 0:3] * sz, encoded[:, 0:3])
+    xyz = xyz + points_xyz
+    lhw = jnp.where(
+        act[:, None], jnp.exp(encoded[:, 3:6]) * sz, encoded[:, 3:6]
+    )
+    yaw = jnp.where(
+        act, encoded[:, 6] * QUARTER_PI + yoff, encoded[:, 6]
+    )
+    return jnp.concatenate([xyz, lhw, yaw[:, None]], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Registries (box_encoding.py:469-502 parity)
+# --------------------------------------------------------------------------
+
+_ENCODERS = {
+    "direct_encoding": direct_box_encoding,
+    "center_box_encoding": center_box_encoding,
+    "voxelnet_box_encoding": voxelnet_box_encoding,
+    "classaware_voxelnet_box_encoding": classaware_voxelnet_box_encoding,
+    "classaware_all_class_box_encoding": classaware_all_class_box_encoding,
+    "classaware_all_class_box_canonical_encoding":
+        classaware_all_class_box_canonical_encoding,
+}
+_DECODERS = {
+    "direct_encoding": direct_box_decoding,
+    "center_box_encoding": center_box_decoding,
+    "voxelnet_box_encoding": voxelnet_box_decoding,
+    "classaware_voxelnet_box_encoding": classaware_voxelnet_box_decoding,
+    "classaware_all_class_box_encoding": classaware_all_class_box_decoding,
+    "classaware_all_class_box_canonical_encoding":
+        classaware_all_class_box_canonical_decoding,
+}
+
+
+def get_box_encoding_fn(name):
+    return _ENCODERS[name]
+
+
+def get_box_decoding_fn(name):
+    return _DECODERS[name]
+
+
+def get_encoding_len(name):
+    if name not in _ENCODERS:
+        raise KeyError(name)
+    return 7
