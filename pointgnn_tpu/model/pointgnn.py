@@ -1,0 +1,232 @@
+"""Config-driven Point-GNN model (the reference's
+``multi_layer_fast_local_graph_model_v2``) as one jittable program.
+
+Parity with /root/reference/models/models.py:22-319: the same
+``layer_configs`` schema (scope/type/graph_level/kwargs), the same five
+layer types, the same loss options, and a registry keyed by the same
+model name.  The forward consumes a :class:`~pointgnn_tpu.graph.pad.PaddedGraph`
+so the whole predict+loss compiles once for a capacity bucket.
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pointgnn_tpu.graph.pad import PaddedGraph
+from pointgnn_tpu.model import losses as L
+from pointgnn_tpu.nn import mlp
+from pointgnn_tpu.nn.layers import (
+    ClassAwarePredictor,
+    GraphNetAutoCenter,
+    PointSetPooling,
+)
+
+_POOLING_TYPES = {"scatter_max_point_set_pooling": "max"}
+_GNN_TYPES = {"scatter_max_graph_auto_center_net": "max"}
+_PREDICTOR_TYPES = {
+    "classaware_predictor": dict(cls_Ks=(64,), loc_Ks=(64, 64)),
+    "classaware_predictor_128": dict(cls_Ks=(128,), loc_Ks=(128, 128)),
+    "classaware_separated_predictor": dict(
+        cls_Ks=(64,), loc_Ks=(64, 64), separated=True
+    ),
+}
+
+
+class PointGNN:
+    """Multi-layer local graph model over padded multi-level graphs."""
+
+    def __init__(
+        self,
+        num_classes: int,
+        box_encoding_len: int,
+        layer_configs,
+        regularizer_type: Optional[str] = None,
+        regularizer_kwargs: Optional[dict] = None,
+        mode: str = "train",
+        compute_dtype=None,
+    ):
+        assert mode in ("train", "eval", "test")
+        self.num_classes = num_classes
+        self.box_encoding_len = box_encoding_len
+        self.layer_configs = list(layer_configs)
+        self.mode = mode
+        self.compute_dtype = compute_dtype
+        if regularizer_type is None:
+            assert not regularizer_kwargs, "No regularizer no kwargs"
+            self._reg_fn = None
+        else:
+            self._reg_fn = mlp.REGULARIZERS[regularizer_type](
+                **(regularizer_kwargs or {})
+            )
+
+        pred_cfg = self.layer_configs[-1]
+        assert pred_cfg["type"] in _PREDICTOR_TYPES, pred_cfg["type"]
+        self._predictor = ClassAwarePredictor(
+            **_PREDICTOR_TYPES[pred_cfg["type"]]
+        )
+        self._layers = []
+        for cfg in self.layer_configs[:-1]:
+            if cfg["type"] in _POOLING_TYPES:
+                self._layers.append(
+                    PointSetPooling(_POOLING_TYPES[cfg["type"]])
+                )
+            elif cfg["type"] in _GNN_TYPES:
+                self._layers.append(
+                    GraphNetAutoCenter(_GNN_TYPES[cfg["type"]])
+                )
+            else:
+                raise ValueError("unknown layer type: %s" % cfg["type"])
+
+    # ------------------------------------------------------------------
+    @property
+    def output_graph_level(self) -> int:
+        """Vertex level carrying the predictor outputs
+        (run.py:240-242: last layer's graph_level + 1)."""
+        return self.layer_configs[-1]["graph_level"] + 1
+
+    def init(self, key, input_dim: int) -> Dict:
+        params = {}
+        dim = input_dim
+        keys = jax.random.split(key, len(self.layer_configs))
+        for i, cfg in enumerate(self.layer_configs[:-1]):
+            kw = cfg["kwargs"]
+            layer = self._layers[i]
+            if isinstance(layer, PointSetPooling):
+                params[cfg["scope"]] = layer.init(keys[i], dim, **kw)
+                dim = kw["output_MLP_depth_list"][-1]
+            else:
+                params[cfg["scope"]] = layer.init(keys[i], dim, **kw)
+                dim = kw["update_MLP_depth_list"][-1]
+        pred_cfg = self.layer_configs[-1]
+        params[pred_cfg["scope"]] = self._predictor.init(
+            keys[-1], dim, self.num_classes, self.box_encoding_len,
+            normalization_type=pred_cfg["kwargs"].get(
+                "normalization_type", "fused_BN_center"
+            ),
+        )
+        return params
+
+    def apply(self, params, graph: PaddedGraph, is_training: bool = False):
+        """predict (models.py:79-163): returns
+        ``(logits [K, num_classes], box_encodings [K, num_classes, L])``
+        on the output vertex level."""
+        del is_training  # BN state handled by the training loop
+        # accept host (numpy) graphs captured as jit constants
+        graph = jax.tree_util.tree_map(jnp.asarray, graph)
+        features = graph.features
+        for i, cfg in enumerate(self.layer_configs[:-1]):
+            g = cfg["graph_level"]
+            kw = dict(cfg["kwargs"])
+            kw["compute_dtype"] = self.compute_dtype
+            layer = self._layers[i]
+            p = params[cfg["scope"]]
+            if isinstance(layer, PointSetPooling):
+                features = layer.apply(
+                    p,
+                    features,
+                    graph.vertex_xyz[g],
+                    graph.vertex_xyz[g + 1],
+                    graph.edges_src[g],
+                    graph.edges_dst[g],
+                    center_mask=graph.vertex_mask[g + 1],
+                    **kw,
+                )
+            else:
+                features = layer.apply(
+                    p,
+                    features,
+                    graph.vertex_xyz[g],
+                    graph.edges_src[g],
+                    graph.edges_dst[g],
+                    vertex_mask=graph.vertex_mask[g],
+                    **kw,
+                )
+        pred_cfg = self.layer_configs[-1]
+        logits, box_encodings = self._predictor.apply(
+            params[pred_cfg["scope"]],
+            features,
+            self.num_classes,
+            self.box_encoding_len,
+            vertex_mask=graph.vertex_mask[self.output_graph_level],
+            compute_dtype=self.compute_dtype,
+            **pred_cfg["kwargs"],
+        )
+        return logits, box_encodings
+
+    def postprocess(self, logits):
+        """models.py:165-168."""
+        return jax.nn.softmax(logits, axis=-1)
+
+    # ------------------------------------------------------------------
+    def loss(
+        self,
+        params,
+        logits,            # [K, C]
+        labels,            # [K] int32
+        pred_box,          # [K, C, L]
+        gt_box,            # [K, L]
+        valid_box,         # [K]
+        endpoint_mask,     # [K]
+        cls_loss_type="focal_sigmoid",
+        cls_loss_kwargs=None,
+        loc_loss_type="huber_loss",
+        loc_loss_kwargs=None,
+        loc_loss_weight=1.0,
+        cls_loss_weight=1.0,
+    ):
+        """models.py:170-311 parity; returns the same loss_dict keys."""
+        mode = self.mode
+
+        def _select(v):
+            return v[mode] if isinstance(v, dict) else v
+
+        loc_loss_weight = _select(loc_loss_weight)
+        cls_loss_weight = _select(cls_loss_weight)
+        if isinstance(cls_loss_type, dict):
+            cls_loss_kwargs = (cls_loss_kwargs or {})[mode]
+            cls_loss_type = cls_loss_type[mode]
+        if isinstance(loc_loss_type, dict):
+            loc_loss_kwargs = (loc_loss_kwargs or {})[mode]
+            loc_loss_type = loc_loss_type[mode]
+
+        cls_mean, _ = L.classification_loss(
+            cls_loss_type, labels, logits, endpoint_mask, cls_loss_kwargs
+        )
+        cls_loss = cls_loss_weight * cls_mean
+
+        # gather the predicted encoding of each vertex's labeled class
+        # (models.py:230-234 gather_nd)
+        pred_sel = jnp.take_along_axis(
+            pred_box, labels[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        loc_loss, classwise, num_valid = L.localization_loss(
+            loc_loss_type,
+            pred_sel,
+            gt_box,
+            valid_box,
+            labels,
+            self.num_classes,
+            loc_loss_weight=loc_loss_weight,
+            loc_loss_kwargs=loc_loss_kwargs,
+            apply_classwise_weight=(mode == "train"),
+        )
+        if self._reg_fn is not None:
+            reg_loss = mlp.regularization_loss(params, self._reg_fn)
+        else:
+            reg_loss = jnp.zeros(())
+        num_endpoint = jnp.sum(endpoint_mask)
+        return {
+            "cls_loss": cls_loss,
+            "loc_loss": loc_loss,
+            "reg_loss": reg_loss,
+            "classwise_loc_loss": classwise,
+            "num_endpoint": num_endpoint,
+            "num_valid_endpoint": num_valid,
+        }
+
+
+def get_model(model_name: str):
+    """models.py:313-319 registry parity."""
+    models = {"multi_layer_fast_local_graph_model_v2": PointGNN}
+    return models[model_name]

@@ -1,0 +1,261 @@
+"""Graph neural network layers (functional, static shapes).
+
+Behavioral parity with /root/reference/models/gnn.py:
+
+- :class:`PointSetPooling` (gnn.py:211-283): gather points of each set,
+  relative coordinates to the keypoint, point MLP, per-set max, output
+  MLP.
+- :class:`GraphNetAutoCenter` (gnn.py:285-373): optional learned
+  destination-coordinate offset ("auto-registration"), edge MLP over
+  [source features ; source − shifted destination], per-destination max,
+  linear-output update MLP, residual add.
+- :class:`ClassAwarePredictor` / :class:`ClassAwareSeparatedPredictor`
+  (gnn.py:121-209): shared classification head, per-class localization
+  heads (the separated variant splits the feature vector per class).
+
+Each layer is a pair of pure functions ``init(key, ...) -> params`` /
+``apply(params, ...) -> array`` so the whole model jits as one XLA
+program.  Edges arrive padded with sentinel destinations (see
+pointgnn_tpu.graph.pad), keeping every shape static.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pointgnn_tpu.nn import mlp
+from pointgnn_tpu.nn.segment import AGGREGATIONS
+
+
+class PointSetPooling:
+    """Downsampling layer: raw points → keypoint set features."""
+
+    def __init__(self, aggregation: str = "max"):
+        self._agg = AGGREGATIONS[aggregation]
+
+    def init(
+        self,
+        key,
+        in_dim: int,
+        point_MLP_depth_list: Sequence[int],
+        output_MLP_depth_list: Sequence[int],
+        point_MLP_normalization_type: str = "NONE",
+        output_MLP_normalization_type: str = "NONE",
+        **_unused,
+    ):
+        k1, k2 = jax.random.split(key)
+        return {
+            "point_mlp": mlp.init_mlp(
+                k1, in_dim + 3, point_MLP_depth_list,
+                point_MLP_normalization_type,
+            ),
+            "output_mlp": mlp.init_mlp(
+                k2, point_MLP_depth_list[-1], output_MLP_depth_list,
+                output_MLP_normalization_type,
+            ),
+        }
+
+    def apply(
+        self,
+        params,
+        point_features,     # [P, C]
+        point_xyz,          # [P, 3]
+        center_xyz,         # [K, 3] == point_xyz[keypoint_indices]
+        edges_src,          # [E] -> points
+        edges_dst,          # [E] -> centers (sentinel K for padding)
+        center_mask=None,   # [K]
+        edge_mask=None,     # unused; sentinel routing handles padding
+        point_MLP_depth_list=None,
+        point_MLP_normalization_type="fused_BN_center",
+        point_MLP_activation_type="ReLU",
+        output_MLP_depth_list=None,
+        output_MLP_normalization_type="fused_BN_center",
+        output_MLP_activation_type="ReLU",
+        compute_dtype=None,
+    ):
+        num_centers = center_xyz.shape[0]
+        sf = point_features[edges_src]
+        # relative coordinates to the set's keypoint (gnn.py:256-267)
+        dst = jnp.minimum(edges_dst, num_centers - 1)
+        rel = point_xyz[edges_src] - center_xyz[dst]
+        edge_in = jnp.concatenate([sf, rel.astype(sf.dtype)], axis=-1)
+        edge_feat = mlp.apply_mlp(
+            params["point_mlp"], edge_in, is_logits=False,
+            normalization_type=point_MLP_normalization_type,
+            activation_type=point_MLP_activation_type,
+            compute_dtype=compute_dtype,
+        )
+        agg = self._agg(edge_feat, edges_dst, num_centers)
+        out = mlp.apply_mlp(
+            params["output_mlp"], agg, is_logits=False,
+            normalization_type=output_MLP_normalization_type,
+            activation_type=output_MLP_activation_type,
+            mask=center_mask, compute_dtype=compute_dtype,
+        )
+        if center_mask is not None:
+            out = out * center_mask[:, None].astype(out.dtype)
+        return out
+
+
+class GraphNetAutoCenter:
+    """GNN layer with auto-registration and residual update."""
+
+    def __init__(self, aggregation: str = "max"):
+        self._agg = AGGREGATIONS[aggregation]
+
+    def init(
+        self,
+        key,
+        in_dim: int,
+        edge_MLP_depth_list: Sequence[int],
+        update_MLP_depth_list: Sequence[int],
+        auto_offset: bool = False,
+        auto_offset_MLP_depth_list: Optional[Sequence[int]] = None,
+        edge_MLP_normalization_type: str = "NONE",
+        update_MLP_normalization_type: str = "NONE",
+        auto_offset_MLP_normalization_type: str = "NONE",
+        **_unused,
+    ):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "edge_mlp": mlp.init_mlp(
+                k1, in_dim + 3, edge_MLP_depth_list,
+                edge_MLP_normalization_type,
+            ),
+            "update_mlp": mlp.init_mlp(
+                k2, edge_MLP_depth_list[-1], update_MLP_depth_list,
+                update_MLP_normalization_type,
+            ),
+        }
+        if auto_offset:
+            params["auto_offset_mlp"] = mlp.init_mlp(
+                k3, in_dim, auto_offset_MLP_depth_list,
+                auto_offset_MLP_normalization_type,
+            )
+        return params
+
+    def apply(
+        self,
+        params,
+        vertex_features,    # [N, C]
+        vertex_xyz,         # [N, 3]
+        edges_src,          # [E] -> vertices
+        edges_dst,          # [E] -> vertices (sentinel N for padding)
+        vertex_mask=None,   # [N]
+        edge_MLP_depth_list=None,
+        edge_MLP_normalization_type="fused_BN_center",
+        edge_MLP_activation_type="ReLU",
+        update_MLP_depth_list=None,
+        update_MLP_normalization_type="fused_BN_center",
+        update_MLP_activation_type="ReLU",
+        auto_offset=False,
+        auto_offset_MLP_depth_list=None,
+        auto_offset_MLP_normalization_type="fused_BN_center",
+        auto_offset_MLP_feature_activation_type="ReLU",
+        compute_dtype=None,
+    ):
+        n = vertex_features.shape[0]
+        # source side uses the *unshifted* coordinates (gnn.py:337-339)
+        s_feat = vertex_features[edges_src]
+        s_xyz = vertex_xyz[edges_src]
+        # auto-registration offsets shift only the destination coords
+        # (gnn.py:341-348)
+        if auto_offset:
+            offset = mlp.apply_mlp(
+                params["auto_offset_mlp"], vertex_features, is_logits=True,
+                normalization_type=auto_offset_MLP_normalization_type,
+                activation_type=auto_offset_MLP_feature_activation_type,
+                mask=vertex_mask, compute_dtype=compute_dtype,
+            )
+            shifted_xyz = vertex_xyz + offset.astype(vertex_xyz.dtype)
+        else:
+            shifted_xyz = vertex_xyz
+        dst = jnp.minimum(edges_dst, n - 1)
+        d_xyz = shifted_xyz[dst]
+        edge_in = jnp.concatenate(
+            [s_feat, (s_xyz - d_xyz).astype(s_feat.dtype)], axis=-1
+        )
+        edge_feat = mlp.apply_mlp(
+            params["edge_mlp"], edge_in, is_logits=False,
+            normalization_type=edge_MLP_normalization_type,
+            activation_type=edge_MLP_activation_type,
+            compute_dtype=compute_dtype,
+        )
+        agg = self._agg(edge_feat, edges_dst, n)
+        update = mlp.apply_mlp(
+            params["update_mlp"], agg, is_logits=True,
+            normalization_type=update_MLP_normalization_type,
+            activation_type=update_MLP_activation_type,
+            mask=vertex_mask, compute_dtype=compute_dtype,
+        )
+        out = update + vertex_features  # residual (gnn.py:372)
+        if vertex_mask is not None:
+            out = out * vertex_mask[:, None].astype(out.dtype)
+        return out
+
+
+class ClassAwarePredictor:
+    """Shared cls head + per-class loc heads (gnn.py:121-163)."""
+
+    def __init__(self, cls_Ks=(64,), loc_Ks=(64, 64), separated=False):
+        self._cls_Ks = tuple(cls_Ks)
+        self._loc_Ks = tuple(loc_Ks)
+        self._separated = separated
+
+    def init(
+        self,
+        key,
+        in_dim: int,
+        num_classes: int,
+        box_encoding_len: int,
+        normalization_type: str = "NONE",
+        **_unused,
+    ):
+        keys = jax.random.split(key, num_classes + 1)
+        loc_in = in_dim // num_classes if self._separated else in_dim
+        return {
+            "cls": mlp.init_fc(
+                keys[0], in_dim, self._cls_Ks, num_classes,
+                normalization_type,
+            ),
+            "loc": [
+                mlp.init_fc(
+                    keys[i + 1], loc_in, self._loc_Ks, box_encoding_len,
+                    normalization_type,
+                )
+                for i in range(num_classes)
+            ],
+        }
+
+    def apply(
+        self,
+        params,
+        features,           # [N, C]
+        num_classes: int,
+        box_encoding_len: int,
+        normalization_type="fused_BN_center",
+        activation_type="ReLU",
+        vertex_mask=None,
+        compute_dtype=None,
+    ):
+        logits = mlp.apply_fc(
+            params["cls"], features, is_logits=True,
+            normalization_type=normalization_type,
+            activation_type=activation_type, mask=vertex_mask,
+            compute_dtype=compute_dtype,
+        )
+        if self._separated:
+            splits = jnp.split(features, num_classes, axis=-1)
+        box_parts = []
+        for ci in range(num_classes):
+            fin = splits[ci] if self._separated else features
+            enc = mlp.apply_fc(
+                params["loc"][ci], fin, is_logits=True,
+                normalization_type=normalization_type,
+                activation_type=activation_type, mask=vertex_mask,
+                compute_dtype=compute_dtype,
+            )
+            box_parts.append(enc[:, None, :])
+        box_encodings = jnp.concatenate(box_parts, axis=1)
+        return logits, box_encodings
