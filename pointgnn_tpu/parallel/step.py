@@ -1,0 +1,170 @@
+"""Data-parallel training step (shard_map + psum over ICI).
+
+Replaces the reference's tower loop: per-tower losses, the
+``unify_copies`` endpoint-count reweighting (train.py:264-288) and
+``average_gradients`` (util/tf_util.py:3-43) collapse into one jitted
+SPMD program — each device computes its graph's loss and gradients,
+endpoint counts are ``psum``-ed over ICI to reweight exactly as if all
+devices formed one large batch, and gradients are ``pmean``-ed.
+
+Endpoint counts are taken from the graph masks directly (they do not
+depend on parameters), so no extra forward pass is needed.  For the
+``top_k_huber_loss`` variant the reference reweights by the top-k valid
+count instead; the shipped configurations use plain huber where both
+definitions coincide.
+"""
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from pointgnn_tpu.graph.pad import PaddedGraph
+from pointgnn_tpu.parallel.mesh import DATA_AXIS
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_loss_fn(model, loss_cfg):
+    """Per-device total loss over one padded graph."""
+
+    def loss_fn(params, graph: PaddedGraph, unify_weights=None):
+        logits, boxes = model.apply(params, graph)
+        d = model.loss(
+            params,
+            logits,
+            graph.cls_labels,
+            boxes,
+            graph.encoded_boxes,
+            graph.valid_boxes,
+            graph.vertex_mask[model.output_graph_level],
+            **loss_cfg,
+        )
+        cls_loss, loc_loss = d["cls_loss"], d["loc_loss"]
+        if unify_weights is not None:
+            w, vw = unify_weights
+            cls_loss = cls_loss * w
+            loc_loss = loc_loss * vw
+        total = cls_loss + loc_loss + d["reg_loss"]
+        d = dict(d, cls_loss=cls_loss, loc_loss=loc_loss, total_loss=total)
+        return total, d
+
+    return loss_fn
+
+
+def _endpoint_counts(model, graph: PaddedGraph):
+    n_ep = jnp.sum(graph.vertex_mask[model.output_graph_level])
+    n_val = jnp.sum(graph.valid_boxes)
+    return n_ep, n_val
+
+
+_SCALAR_KEYS = ("cls_loss", "loc_loss", "reg_loss", "total_loss")
+_PER_DEVICE_KEYS = (
+    "classwise_loc_loss", "num_endpoint", "num_valid_endpoint",
+)
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: dict,
+    mesh: Optional[Mesh] = None,
+    unify_copies: bool = True,
+    num_levels: int = 2,
+):
+    """Build the jitted step.
+
+    With a mesh: expects a stacked PaddedGraph (leading device axis
+    sharded over DATA_AXIS); runs SPMD with psum/pmean collectives.
+    Without: a plain single-device step.
+    """
+    loss_fn = make_loss_fn(model, loss_cfg)
+
+    def _apply_updates(state, grads, aux):
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), aux
+
+    if mesh is None:
+
+        @jax.jit
+        def step(state: TrainState, graph: PaddedGraph):
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, graph)
+            return _apply_updates(state, grads, aux)
+
+        return step
+
+    def _spmd_grads(params, graph: PaddedGraph):
+        graph = jax.tree_util.tree_map(lambda x: x[0], graph)
+        if unify_copies:
+            n_dev = jax.lax.psum(1, DATA_AXIS)
+            n_ep, n_val = _endpoint_counts(model, graph)
+            tot_ep = jax.lax.psum(n_ep, DATA_AXIS)
+            tot_val = jax.lax.psum(n_val, DATA_AXIS)
+            w = jnp.where(
+                tot_ep > 0, n_dev * n_ep / jnp.maximum(tot_ep, 1.0), 0.0
+            )
+            vw = jnp.where(
+                tot_val > 0, n_dev * n_val / jnp.maximum(tot_val, 1.0), 0.0
+            )
+            weights = (w, vw)
+        else:
+            weights = None
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, graph, weights
+        )
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        out = {}
+        for k, v in aux.items():
+            if k in _SCALAR_KEYS:
+                out[k] = jax.lax.pmean(v, DATA_AXIS)
+            else:
+                out[k] = jnp.asarray(v)[None]  # keep per-device values
+        return grads, out
+
+    graph_specs = PaddedGraph(
+        features=P(DATA_AXIS),
+        vertex_xyz=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
+        vertex_mask=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
+        keypoint_indices=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+        edges_src=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+        edges_dst=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+        cls_labels=P(DATA_AXIS),
+        encoded_boxes=P(DATA_AXIS),
+        valid_boxes=P(DATA_AXIS),
+    )
+    aux_specs = {k: P() for k in _SCALAR_KEYS}
+    aux_specs.update({k: P(DATA_AXIS) for k in _PER_DEVICE_KEYS})
+
+    sharded_grads = shard_map(
+        _spmd_grads,
+        mesh=mesh,
+        in_specs=(P(), graph_specs),
+        out_specs=(P(), aux_specs),
+    )
+
+    @jax.jit
+    def step(state: TrainState, graph: PaddedGraph):
+        grads, aux = sharded_grads(state.params, graph)
+        return _apply_updates(state, grads, aux)
+
+    return step

@@ -1,0 +1,148 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.graph import builder, pad
+from pointgnn_tpu.model.pointgnn import PointGNN
+from pointgnn_tpu.parallel import mesh as pmesh
+from pointgnn_tpu.parallel import step as pstep
+from pointgnn_tpu.train import optimizers
+
+
+def _frame(rng, n=300):
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.randn(n) * 8
+    pts[:, 1] = rng.randn(n)
+    pts[:, 2] = np.abs(rng.randn(n)) * 15 + 2
+    lc = [
+        {
+            "graph_gen_kwargs": {"num_neighbors": -1, "radius": 1.0},
+            "graph_gen_method": "disjointed_rnn_local_graph_v3",
+            "graph_level": 0,
+            "graph_scale": 1,
+        },
+        {
+            "graph_gen_kwargs": {"num_neighbors": 16, "radius": 4.0},
+            "graph_gen_method": "disjointed_rnn_local_graph_v3",
+            "graph_level": 1,
+            "graph_scale": 1,
+        },
+    ]
+    vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+        pts, 0.8, lc, rng=np.random.default_rng(5)
+    )
+    k = len(vcl[-1])
+    labels = rng.randint(0, 4, (k, 1))
+    boxes = rng.random_sample((k, 1, 7)).astype(np.float32)
+    valid = (labels[:, :, None] == 1).astype(np.float32)
+    feats = rng.random_sample((n, 1)).astype(np.float32)
+    return pad.FrameData(feats, vcl, kil, el, labels, boxes, valid)
+
+
+CAP = pad.GraphCapacity(vertices=(512, 320, 320), edges=(4096, 8192))
+LOSS_CFG = {
+    "cls_loss_type": "softmax",
+    "cls_loss_weight": 0.1,
+    "loc_loss_weight": 10.0,
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(1)
+    model = PointGNN(
+        4, 7, configs.layer_configs(T=1), mode="train",
+        regularizer_type="l1", regularizer_kwargs={"scale": 5e-7},
+    )
+    params = model.init(jax.random.PRNGKey(0), 1)
+    frames = [_frame(rng) for _ in range(8)]
+    graphs = [pad.pad_frame(f, CAP) for f in frames]
+    return model, params, frames, graphs
+
+
+def test_mesh_has_8_devices(setup):
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_runs_and_syncs_params(setup):
+    model, params, frames, graphs = setup
+    mesh = pmesh.make_mesh()
+    opt, _ = optimizers.build_from_train_config(
+        {"initial_lr": 0.01, "decay_step": 1000, "decay_factor": 0.1,
+         "optimizer": "sgd"}
+    )
+    state = pstep.init_train_state(params, opt)
+    step_fn = pstep.make_train_step(model, opt, LOSS_CFG, mesh=mesh)
+    stacked = pmesh.stack_graphs(graphs)
+    stacked = pmesh.shard_batch(mesh, stacked)
+    state2, aux = step_fn(state, stacked)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(aux["total_loss"]))
+    assert aux["num_endpoint"].shape == (8,)
+    # params changed
+    delta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state2.params),
+            jax.tree_util.tree_leaves(params),
+        )
+    )
+    assert delta > 0
+
+
+def test_dp_matches_single_device_big_batch(setup):
+    """unify_copies semantics: 8-device DP must equal one device seeing
+    the union of all 8 graphs (up to float tolerance)."""
+    model, params, frames, graphs = setup
+    mesh = pmesh.make_mesh()
+    opt, _ = optimizers.build_from_train_config(
+        {"initial_lr": 0.1, "decay_step": 1000, "decay_factor": 0.1,
+         "optimizer": "sgd"}
+    )
+    # --- DP over 8 devices
+    state = pstep.init_train_state(params, opt)
+    step_fn = pstep.make_train_step(model, opt, LOSS_CFG, mesh=mesh)
+    stacked = pmesh.shard_batch(mesh, pmesh.stack_graphs(graphs))
+    state_dp, aux_dp = step_fn(state, stacked)
+
+    # --- single device, all frames as one graph union
+    union = pad.batch_and_pad(frames, CAP.scaled(8))
+    state1 = pstep.init_train_state(params, opt)
+    step1 = pstep.make_train_step(model, opt, LOSS_CFG, mesh=None)
+    state_single, aux_single = step1(state1, union)
+
+    # losses agree
+    np.testing.assert_allclose(
+        float(aux_dp["cls_loss"]), float(aux_single["cls_loss"]),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(aux_dp["loc_loss"]), float(aux_single["loc_loss"]),
+        rtol=2e-4,
+    )
+    # updated parameters agree
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_dp.params),
+        jax.tree_util.tree_leaves(state_single.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+
+def test_optimizer_registry():
+    for name in ("sgd", "momentum", "rmsprop", "adam"):
+        opt = optimizers.build_optimizer(name, 0.1)
+        assert opt is not None
+
+
+def test_lr_schedule_staircase():
+    lr = optimizers.exponential_decay_lr(0.125, 100, 0.1, True)
+    assert float(lr(0)) == pytest.approx(0.125)
+    assert float(lr(99)) == pytest.approx(0.125)
+    assert float(lr(100)) == pytest.approx(0.0125)
+    assert float(lr(250)) == pytest.approx(0.00125)
