@@ -115,8 +115,8 @@ def make_train_step(
 
     def _spmd_grads(params, graph: PaddedGraph):
         graph = jax.tree_util.tree_map(lambda x: x[0], graph)
+        n_dev = jax.lax.psum(1, DATA_AXIS)
         if unify_copies:
-            n_dev = jax.lax.psum(1, DATA_AXIS)
             n_ep, n_val = _endpoint_counts(model, graph)
             tot_ep = jax.lax.psum(n_ep, DATA_AXIS)
             tot_val = jax.lax.psum(n_val, DATA_AXIS)
@@ -129,10 +129,19 @@ def make_train_step(
             weights = (w, vw)
         else:
             weights = None
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+
+        # Under shard_map's varying-axes semantics, the gradient of the
+        # replicated parameters w.r.t. a device-varying loss is psum-ed
+        # across the mesh automatically; dividing the loss by the device
+        # count therefore yields the cross-device *mean* gradient (the
+        # reference's average_gradients, util/tf_util.py:3-43).
+        def scaled_loss(p, g, wts):
+            total, aux = loss_fn(p, g, wts)
+            return total / n_dev, aux
+
+        (_, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params, graph, weights
         )
-        grads = jax.lax.pmean(grads, DATA_AXIS)
         out = {}
         for k, v in aux.items():
             if k in _SCALAR_KEYS:
