@@ -1,0 +1,144 @@
+"""Rotated IoU + all four NMS variants."""
+
+import numpy as np
+import pytest
+
+from pointgnn_tpu.postprocess import iou, nms
+
+
+def _box(x=0.0, z=0.0, l=4.0, w=2.0, yaw=0.0, y=0.0, h=1.5):
+    return np.array([x, y, z, l, h, w, yaw], dtype=np.float64)
+
+
+def test_polygon_area_and_clip():
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=np.float64)
+    assert iou.polygon_area(sq) == pytest.approx(4.0)
+    shifted = sq + 1.0
+    inter = iou.rect_intersection_area(sq, shifted)
+    assert inter == pytest.approx(1.0)
+    # disjoint
+    assert iou.rect_intersection_area(sq, sq + 10.0) == 0.0
+    # clip winding order should not matter
+    assert iou.rect_intersection_area(sq, shifted[::-1]) == pytest.approx(1.0)
+
+
+def test_identical_boxes_full_overlap():
+    corners = nms.boxes_3d_to_corners(np.stack([_box(), _box()]))
+    ov = iou.overlapped_boxes_3d(corners[0], corners[1:])
+    assert ov[0] == pytest.approx(1.0)
+
+
+def test_axis_aligned_iou_matches_analytic():
+    # two unit-height boxes, 4x2 footprints, shifted by 2 along x:
+    # intersection BEV = 2*2=4, areas 8 each, y overlap full
+    a, b = _box(x=0.0), _box(x=2.0)
+    corners = nms.boxes_3d_to_corners(np.stack([a, b]))
+    ov = iou.overlapped_boxes_3d(corners[0], corners[1:])
+    h = 1.5
+    inter = h * 4.0
+    union = h * 8.0 + h * 8.0
+    assert ov[0] == pytest.approx(inter / (union - inter))
+
+
+def test_rotated_iou():
+    # 45-degree rotated square on top of an identical unrotated square:
+    # classic intersection of two unit squares = 2*(sqrt(2)-1)^2... use
+    # a known simple case: square footprint l=w=2 rotated by 90 deg is
+    # identical -> full overlap.
+    a = _box(l=2.0, w=2.0, yaw=0.0)
+    b = _box(l=2.0, w=2.0, yaw=np.pi / 2)
+    corners = nms.boxes_3d_to_corners(np.stack([a, b]))
+    ov = iou.overlapped_boxes_3d(corners[0], corners[1:])
+    assert ov[0] == pytest.approx(1.0, abs=1e-6)
+    # 45 degrees: intersection is a regular octagon, area 8*(sqrt(2)-1)
+    c = _box(l=2.0, w=2.0, yaw=np.pi / 4)
+    corners = nms.boxes_3d_to_corners(np.stack([a, c]))
+    ov = iou.overlapped_boxes_3d(corners[0], corners[1:])
+    h = 1.5
+    inter_bev = 8 * (np.sqrt(2) - 1)
+    inter = h * inter_bev
+    union = 2 * h * 4.0
+    assert ov[0] == pytest.approx(inter / (union - inter), rel=1e-6)
+
+
+def _toy_detections():
+    # three overlapping same-class boxes + one far box + one other class
+    boxes = np.stack(
+        [
+            _box(x=0.0),
+            _box(x=0.3),
+            _box(x=-0.2),
+            _box(x=50.0),
+            _box(x=0.1),
+        ]
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.6, 0.95])
+    classes = np.array([1, 1, 1, 1, 2])
+    return classes, boxes, scores
+
+
+def test_nms_suppress():
+    classes, boxes, scores = _toy_detections()
+    cls, out_boxes, out_scores, _ = nms.nms_boxes_3d(
+        classes, boxes, scores, overlapped_thres=0.3, appr_factor=100.0
+    )
+    # class-2 box kept (different class), cluster collapses to one,
+    # far box kept
+    assert sorted(cls.tolist()) == [1, 1, 2]
+    assert out_scores.max() == pytest.approx(0.95)
+
+
+def test_nms_uncertainty_merges_and_rescores():
+    classes, boxes, scores = _toy_detections()
+    cls, out_boxes, out_scores, _ = nms.nms_boxes_3d_uncertainty(
+        classes, boxes, scores, overlapped_thres=0.3
+    )
+    assert sorted(cls.tolist()) == [1, 1, 2]
+    kept1 = out_scores[cls == 1]
+    # the cluster's kept score must exceed its original top score
+    assert kept1.max() > 0.9
+    # merged box x is the median of (0.3, -0.2, 0.0) = 0.0
+    cluster_box = out_boxes[(cls == 1) & (out_scores > 0.9)][0]
+    assert cluster_box[0] == pytest.approx(0.0)
+
+
+def test_nms_merge_only_keeps_scores():
+    classes, boxes, scores = _toy_detections()
+    _, _, out_scores, _ = nms.nms_boxes_3d_merge_only(
+        classes, boxes, scores, overlapped_thres=0.3
+    )
+    assert set(np.round(out_scores, 6)) <= {0.9, 0.6, 0.95}
+
+
+def test_nms_score_only_keeps_boxes():
+    classes, boxes, scores = _toy_detections()
+    cls, out_boxes, out_scores, _ = nms.nms_boxes_3d_score_only(
+        classes, boxes, scores, overlapped_thres=0.3
+    )
+    # kept class-1 cluster box is the original highest-score box (x=0)
+    cluster_box = out_boxes[(cls == 1) & (out_scores > 0.9)][0]
+    assert cluster_box[0] == pytest.approx(0.0)
+
+
+def test_top_k_and_attributes():
+    classes, boxes, scores = _toy_detections()
+    attrs = np.arange(5)
+    cls, out_boxes, out_scores, out_attrs = nms.nms_boxes_3d_uncertainty(
+        classes, boxes, scores, overlapped_thres=0.3, top_k=2, attributes=attrs
+    )
+    assert len(cls) <= 2
+    assert out_attrs is not None and len(out_attrs) == len(cls)
+
+
+def test_get_nms_fn():
+    assert nms.get_nms_fn(True, True) is nms.nms_boxes_3d_uncertainty
+    assert nms.get_nms_fn(True, False) is nms.nms_boxes_3d_merge_only
+    assert nms.get_nms_fn(False, True) is nms.nms_boxes_3d_score_only
+    assert nms.get_nms_fn(False, False) is nms.nms_boxes_3d
+
+
+def test_empty_input():
+    cls, boxes, scores, _ = nms.nms_boxes_3d_uncertainty(
+        np.zeros(0, dtype=np.int64), np.zeros((0, 7)), np.zeros(0)
+    )
+    assert len(cls) == 0 and boxes.shape[0] == 0
