@@ -1,0 +1,364 @@
+"""End-to-end inference pipeline: points -> detections -> KITTI text.
+
+TPU-first restructuring of the reference inference driver
+(/root/reference/run.py:60-433).  The whole network *and* the
+per-(vertex, class) box decode run as one jitted device program over a
+static-capacity padded graph; the host does file IO, graph
+construction (C++ grid hash), the greedy box-merge NMS, the occlusion
+rescoring, and KITTI-format output — the same host/device split the
+data demands (NMS is a sequential, data-dependent loop).
+
+Stage timings are accumulated in a ``time_dict`` with the reference's
+bucket names (run.py:191-540).
+"""
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pointgnn_tpu.core import boxes as box_ops
+from pointgnn_tpu.core.points import Points
+from pointgnn_tpu.graph import builder, pad
+from pointgnn_tpu.model import encodings
+from pointgnn_tpu.model.pointgnn import get_model
+from pointgnn_tpu.postprocess import iou as iou_lib
+from pointgnn_tpu.postprocess import nms as nms_lib
+from pointgnn_tpu.data.labels import LABEL_METHODS
+
+# class-id -> KITTI name, folding horizontal/vertical pairs
+# (run.py:369-383)
+ALL_CLASS_NAMES = {
+    "yaw": [
+        "Background", "Car", "Car", "Pedestrian", "Pedestrian",
+        "Cyclist", "Cyclist", "DontCare",
+    ],
+    "Car": ["Background", "Car", "Car", "DontCare"],
+    "Pedestrian_and_Cyclist": [
+        "Background", "Pedestrian", "Pedestrian", "Cyclist", "Cyclist",
+        "DontCare",
+    ],
+}
+
+IMG_CLIP_W = 1242.0
+IMG_CLIP_H = 375.0
+
+
+def select_input_features(attr: np.ndarray, mode: str) -> np.ndarray:
+    """Input-feature selection ('irgb'|'0rgb'|'0000'|'i000'|'rgb'|'i'|'0')
+    (run.py:226-240, train.py:91-104).  ``attr`` is [N, 4] = intensity+rgb
+    (or [N, 1] intensity-only for the 'i'/'0' modes)."""
+    if mode == "irgb":
+        return attr.astype(np.float32)
+    if mode == "rgb":
+        return attr[:, 1:4].astype(np.float32)
+    if mode == "0rgb":
+        return np.hstack(
+            [np.zeros((attr.shape[0], 1), np.float32), attr[:, 1:4]]
+        ).astype(np.float32)
+    if mode == "0000":
+        return np.zeros_like(attr[:, :4], dtype=np.float32)
+    if mode == "i000":
+        return np.hstack(
+            [attr[:, [0]], np.zeros((attr.shape[0], 3), np.float32)]
+        ).astype(np.float32)
+    if mode == "i":
+        return attr[:, [0]].astype(np.float32)
+    if mode == "0":
+        return np.zeros((attr.shape[0], 1), dtype=np.float32)
+    raise ValueError("unknown input_features mode: %s" % mode)
+
+
+def input_feature_dim(mode: str) -> int:
+    return {"irgb": 4, "rgb": 3, "0rgb": 4, "0000": 4, "i000": 4,
+            "i": 1, "0": 1}[mode]
+
+
+def occlusion_score(box: np.ndarray, xyz: np.ndarray) -> float:
+    """Projected-extent coverage product (run.py:87-99): how much of the
+    box's three axis extents the inlier points span."""
+    if xyz.shape[0] == 0:
+        return 0.0
+    normals, lower, upper = box_ops.boxes_to_normals(box[None, :])
+    normals, lower, upper = normals[0], lower[0], upper[0]
+    projected = xyz @ normals.T
+    spans = projected.max(axis=0) - projected.min(axis=0)
+    return float(np.prod(spans / (upper - lower)))
+
+
+class InferencePipeline:
+    """Drives one config + parameter set over frames."""
+
+    def __init__(
+        self,
+        config: Dict,
+        params=None,
+        checkpoint_dir: Optional[str] = None,
+        capacity: Optional[pad.GraphCapacity] = None,
+        use_box_merge: bool = True,
+        use_box_score: bool = True,
+        seed: int = 0,
+    ):
+        import jax
+
+        self.config = config
+        self.label_method = config["label_method"]
+        self.num_classes = config["num_classes"]
+        self.use_box_merge = use_box_merge
+        self.use_box_score = use_box_score
+        label_map, n_cls = LABEL_METHODS[self.label_method]
+        assert n_cls == self.num_classes
+        self.label_map = label_map
+        self.tables = encodings.build_class_tables(label_map)
+        self.enc_len = encodings.get_encoding_len(
+            config["box_encoding_method"]
+        )
+        self.model = get_model(config["model_name"])(
+            num_classes=self.num_classes,
+            box_encoding_len=self.enc_len,
+            mode="test",
+            **config["model_kwargs"],
+        )
+        self.input_features = config["input_features"]
+        if capacity is None:
+            from pointgnn_tpu import configs as cfg_mod
+
+            capacity = cfg_mod.tpu_settings(self.label_method)[
+                "frame_capacity"
+            ]
+        self.capacity = capacity
+
+        if params is None:
+            if checkpoint_dir is not None:
+                from pointgnn_tpu.train import checkpoint as ckpt
+
+                state, step = ckpt.restore_checkpoint(checkpoint_dir)
+                assert state is not None, (
+                    "no checkpoint found in %s" % checkpoint_dir
+                )
+                params = state["params"] if "params" in state else state
+                self.restored_step = step
+            else:
+                params = self.model.init(
+                    jax.random.PRNGKey(seed),
+                    input_dim=input_feature_dim(self.input_features),
+                )
+                self.restored_step = 0
+        self.params = params
+        self.time_dict: Dict[str, float] = {}
+        self.frames_done = 0
+        self._device_fn = jax.jit(self._build_device_fn())
+
+    # ------------------------------------------------------------------
+    def _build_device_fn(self):
+        """forward -> softmax -> all-(vertex, class) box decode, fused on
+        device (run.py:252-291 semantics, minus host round trips)."""
+        import jax.numpy as jnp
+
+        model, tables, num_classes = self.model, self.tables, self.num_classes
+
+        def device_fn(params, graph):
+            logits, box_enc = model.apply(params, graph)
+            probs = model.postprocess(logits)
+            k = probs.shape[0]
+            cls_ids = jnp.tile(
+                jnp.arange(num_classes, dtype=jnp.int32)[None, :], (k, 1)
+            ).reshape(-1)
+            xyz = jnp.repeat(
+                graph.vertex_xyz[model.output_graph_level],
+                num_classes,
+                axis=0,
+            )
+            decoded = encodings.classaware_decode_jax(
+                cls_ids, xyz, box_enc.reshape(-1, model.box_encoding_len),
+                tables,
+            )
+            return probs, decoded
+
+        return device_fn
+
+    # ------------------------------------------------------------------
+    def run_frame(
+        self, points: Points, rng: Optional[np.random.Generator] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
+        """One frame: returns ``(class_labels, boxes_3d, scores, aux)``.
+
+        ``aux`` carries the masked hypothesis coordinates and original
+        probabilities needed for occlusion rescoring.
+        """
+        import jax
+
+        t0 = time.time()
+        rng = rng or np.random.default_rng(0)
+        gen_kwargs = self.config.get(
+            "runtime_graph_gen_kwargs", self.config["graph_gen_kwargs"]
+        )
+        vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+            points.xyz, **gen_kwargs, rng=rng
+        )
+        features = select_input_features(points.attr, self.input_features)
+        frame = pad.FrameData(features, vcl, kil, el)
+        graph = pad.pad_frame(frame, self.capacity)
+        t1 = time.time()
+        self.time_dict["gen graph"] = (
+            self.time_dict.get("gen graph", 0) + t1 - t0
+        )
+
+        probs, decoded = self._device_fn(self.params, graph)
+        probs, decoded = jax.device_get((probs, decoded))
+        t2 = time.time()
+        self.time_dict["gnn inference"] = (
+            self.time_dict.get("gnn inference", 0) + t2 - t1
+        )
+
+        # host-side hypothesis masking (run.py:264-291)
+        out_level = self.model.output_graph_level
+        k = probs.shape[0]
+        vertex_valid = graph.vertex_mask[out_level].astype(bool)
+        box_labels = np.tile(
+            np.arange(self.num_classes)[None, :], (k, 1)
+        ).reshape(-1)
+        box_probs = probs.reshape(-1)
+        hyp_xyz = np.repeat(graph.vertex_xyz[out_level], self.num_classes, 0)
+        hyp_valid = np.repeat(vertex_valid, self.num_classes)
+        box_mask = (
+            hyp_valid
+            & (box_labels > 0)
+            & (box_labels < self.num_classes - 1)
+            & (box_probs > 1.0 / self.num_classes)
+        )
+        box_indices = np.flatnonzero(box_mask)
+        t3 = time.time()
+        self.time_dict["decode box"] = (
+            self.time_dict.get("decode box", 0) + t3 - t2
+        )
+        aux = {
+            "hyp_xyz": hyp_xyz[box_indices],
+            "probs_ori": box_probs[box_indices],
+        }
+        if box_indices.size == 0:
+            empty = np.zeros(0)
+            return (
+                empty.astype(np.int64),
+                np.zeros((0, 7)),
+                empty,
+                aux,
+            )
+        sel_labels = box_labels[box_indices].copy()
+        sel_probs = box_probs[box_indices]
+        sel_boxes = decoded[box_indices]
+        # fold vertical classes into horizontal (run.py:268-271)
+        for v in range(2, self.num_classes - 1, 2):
+            sel_labels[sel_labels == v] = v - 1
+
+        nms_fn = nms_lib.get_nms_fn(self.use_box_merge, self.use_box_score)
+        class_labels, boxes_3d, scores, _ = nms_fn(
+            sel_labels,
+            sel_boxes.astype(np.float64),
+            sel_probs.astype(np.float64),
+            overlapped_fn=iou_lib.overlapped_boxes_3d,
+            overlapped_thres=self.config["nms_overlapped_thres"],
+            appr_factor=100.0,
+            top_k=-1,
+        )
+        t4 = time.time()
+        self.time_dict["nms"] = self.time_dict.get("nms", 0) + t4 - t3
+        self.frames_done += 1
+        return class_labels, boxes_3d, scores, aux
+
+    # ------------------------------------------------------------------
+    def detections_to_kitti(
+        self,
+        class_labels: np.ndarray,
+        boxes_3d: np.ndarray,
+        scores: np.ndarray,
+        calib: Dict,
+        aux: Dict,
+    ) -> List[Tuple]:
+        """Project to 2D, clip, truncation-filter, occlusion-rescore
+        (run.py:360-421). Returns KITTI label tuples."""
+        from pointgnn_tpu.data.kitti import KittiDataset
+
+        names = ALL_CLASS_NAMES[self.label_method]
+        pred_labels = []
+        if len(class_labels) == 0:
+            return pred_labels
+        corners = nms_lib.boxes_3d_to_corners(boxes_3d)
+        for i in range(len(corners)):
+            img_pts = KittiDataset.cam_points_to_image(
+                Points(xyz=corners[i], attr=None), calib
+            )
+            xy = img_pts.xyz[:, :2]
+            xmin, ymin = np.amin(xy, axis=0)
+            xmax, ymax = np.amax(xy, axis=0)
+            clip_xmin, clip_ymin = max(xmin, 0.0), max(ymin, 0.0)
+            clip_xmax = min(xmax, IMG_CLIP_W)
+            clip_ymax = min(ymax, IMG_CLIP_H)
+            truncation_rate = 1.0 - (clip_ymax - clip_ymin) * (
+                clip_xmax - clip_xmin
+            ) / ((ymax - ymin) * (xmax - xmin))
+            if truncation_rate > 0.4:
+                continue
+            x3d, y3d, z3d, l, h, w, yaw = boxes_3d[i]
+            assert l > 0, str(i)
+            score = scores[i]
+            if self.use_box_score:
+                inside = box_ops.points_in_box(aux["hyp_xyz"], boxes_3d[i])
+                score = (
+                    1.0 + occlusion_score(boxes_3d[i], aux["hyp_xyz"][inside])
+                ) * score
+            pred_labels.append(
+                (
+                    names[int(class_labels[i])], -1, -1, 0,
+                    clip_xmin, clip_ymin, clip_xmax, clip_ymax,
+                    h, w, l, x3d, y3d, z3d, yaw, score,
+                )
+            )
+        return pred_labels
+
+    # ------------------------------------------------------------------
+    def run_dataset(
+        self,
+        dataset,
+        output_dir: str,
+        num_frames: int = -1,
+        is_test: bool = False,
+        verbose: bool = True,
+    ) -> Dict[str, float]:
+        """Full loop over a KittiDataset; writes ``<output_dir>/data/*.txt``
+        (run.py:203-540).  Returns per-frame average stage times."""
+        n = dataset.num_files if num_frames < 0 else num_frames
+        rng = np.random.default_rng(0)
+        for frame_idx in range(n):
+            start = time.time()
+            points = dataset.get_cam_points_in_image_with_rgb(
+                frame_idx, self.config.get("downsample_by_voxel_size")
+            )
+            calib = dataset.get_calib(frame_idx)
+            t_in = time.time()
+            self.time_dict["fetch input"] = (
+                self.time_dict.get("fetch input", 0) + t_in - start
+            )
+            cls, boxes, scores, aux = self.run_frame(points, rng)
+            pred_labels = self.detections_to_kitti(
+                cls, boxes, scores, calib, aux
+            )
+            filename = os.path.join(
+                output_dir, "data", dataset.get_filename(frame_idx) + ".txt"
+            )
+            os.makedirs(os.path.dirname(filename), exist_ok=True)
+            with open(filename, "w") as f:
+                for pred in pred_labels:
+                    f.write(" ".join(str(v) for v in pred) + " \n")
+                f.write("\n")
+            self.time_dict["total"] = self.time_dict.get("total", 0) + (
+                time.time() - start
+            )
+        averages = {
+            k: v / max(self.frames_done, 1) for k, v in self.time_dict.items()
+        }
+        if verbose:
+            for k, v in averages.items():
+                print("%s: %.1f ms/frame" % (k, 1e3 * v))
+        return averages

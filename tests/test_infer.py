@@ -1,0 +1,133 @@
+"""Inference pipeline: device decode + host NMS + KITTI output, and
+checkpoint save/restore round trip."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.graph.pad import GraphCapacity
+from pointgnn_tpu.infer import (
+    InferencePipeline,
+    input_feature_dim,
+    occlusion_score,
+    select_input_features,
+)
+from pointgnn_tpu.train import checkpoint as ckpt
+from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+SMALL_CAP = GraphCapacity(vertices=(4096, 1024, 1024), edges=(16384, 32768))
+
+
+def test_select_input_features():
+    attr = np.arange(20, dtype=np.float32).reshape(5, 4)
+    assert select_input_features(attr, "irgb").shape == (5, 4)
+    assert select_input_features(attr, "rgb").shape == (5, 3)
+    i = select_input_features(attr, "i")
+    np.testing.assert_array_equal(i[:, 0], attr[:, 0])
+    z = select_input_features(attr, "0rgb")
+    assert (z[:, 0] == 0).all()
+    np.testing.assert_array_equal(z[:, 1:], attr[:, 1:])
+    assert (select_input_features(attr, "0000") == 0).all()
+    i000 = select_input_features(attr, "i000")
+    np.testing.assert_array_equal(i000[:, 0], attr[:, 0])
+    assert (i000[:, 1:] == 0).all()
+    for mode in ("irgb", "rgb", "0rgb", "0000", "i000", "i", "0"):
+        assert select_input_features(attr, mode).shape[1] == (
+            input_feature_dim(mode)
+        )
+
+
+def test_occlusion_score():
+    box = np.array([0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0])
+    # points spanning the full box -> coverage ~1
+    corners_like = np.array(
+        [[-1.99, -1.99, -0.99], [1.99, -0.01, 0.99]]
+    )
+    assert occlusion_score(box, corners_like) == pytest.approx(1.0, abs=0.05)
+    # no points -> 0
+    assert occlusion_score(box, np.zeros((0, 3))) == 0.0
+    # half-length span -> ~0.5
+    half = np.array([[-1.0, -1.99, -0.99], [1.0, -0.01, 0.99]])
+    assert occlusion_score(box, half) == pytest.approx(0.5, abs=0.05)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = configs.model_config("Car", T=1)
+    return InferencePipeline(cfg, capacity=SMALL_CAP, seed=0)
+
+
+def test_run_frame_shapes(pipeline):
+    points, _ = synthetic_lidar_frame(seed=0)
+    pts = points.mask(np.arange(3000))
+    cls, boxes, scores, aux = pipeline.run_frame(pts)
+    assert boxes.shape[1:] == (7,)
+    assert len(cls) == len(scores) == len(boxes)
+    # horizontal/vertical folding: only odd class ids survive
+    assert all(c in (1,) for c in cls.tolist())
+    assert aux["hyp_xyz"].shape[1] == 3
+
+
+def test_detections_to_kitti(pipeline):
+    # an identity-like calib projecting cam coords with f=700
+    calib = {
+        "cam_to_image": np.array(
+            [[700.0, 0, 621, 0], [0, 700.0, 187, 0], [0, 0, 1, 0]]
+        )
+    }
+    cls = np.array([1])
+    boxes = np.array([[0.0, 1.5, 20.0, 4.0, 1.6, 1.8, 0.3]])
+    scores = np.array([0.8])
+    aux = {
+        "hyp_xyz": np.array([[0.0, 1.0, 20.0]]),
+        "probs_ori": np.array([0.8]),
+    }
+    preds = pipeline.detections_to_kitti(cls, boxes, scores, calib, aux)
+    assert len(preds) == 1
+    name, _, _, _, xmin, ymin, xmax, ymax, h, w, l = preds[0][:11]
+    assert name == "Car"
+    assert 0 <= xmin < xmax <= 1242 and 0 <= ymin < ymax <= 375
+    assert (h, w, l) == (1.6, 1.8, 4.0)
+    # occlusion rescoring multiplies by (1 + occ) >= 1
+    assert preds[0][-1] >= 0.8
+
+
+def test_checkpoint_roundtrip(tmp_path, pipeline):
+    state = {"params": pipeline.params, "step": np.asarray(7)}
+    d = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(
+        d, 7, state, config=pipeline.config, train_config={"batch_size": 4}
+    )
+    assert ckpt.latest_checkpoint(d).endswith("model-7")
+    restored, step = ckpt.restore_checkpoint(d)
+    assert step == 7
+    leaves1 = jax.tree_util.tree_leaves(state["params"])
+    leaves2 = jax.tree_util.tree_leaves(restored["params"])
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # frozen config contract
+    assert os.path.isfile(os.path.join(d, "config"))
+    assert os.path.isfile(os.path.join(d, "train_config"))
+    # empty dir -> (None, 0)
+    none_state, step0 = ckpt.restore_checkpoint(str(tmp_path / "nope"))
+    assert none_state is None and step0 == 0
+
+
+def test_pipeline_from_checkpoint(tmp_path, pipeline):
+    d = str(tmp_path / "ckpt2")
+    ckpt.save_checkpoint(
+        d, 3, {"params": pipeline.params}, config=pipeline.config
+    )
+    p2 = InferencePipeline(
+        pipeline.config, checkpoint_dir=d, capacity=SMALL_CAP
+    )
+    assert p2.restored_step == 3
+    points, _ = synthetic_lidar_frame(seed=1)
+    pts = points.mask(np.arange(2000))
+    r1 = pipeline.run_frame(pts)
+    r2 = p2.run_frame(pts)
+    np.testing.assert_allclose(r1[1], r2[1], rtol=1e-5)

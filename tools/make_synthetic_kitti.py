@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Generate a synthetic KITTI directory tree for smoke tests.
+
+Creates the reference layout (run.py expects image/training/image_2,
+velodyne/training/velodyne, calib/training/calib,
+labels/training/label_2 and 3DOP_splits/) with plausible LiDAR-density
+frames, real KITTI calibration values, and a few car labels with points
+inside.  No real KITTI data is required anywhere in the test pyramid.
+
+Usage: python tools/make_synthetic_kitti.py <out_dir> [num_frames]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+CALIB_TEXT = """\
+P0: 7.070493000000e+02 0.000000000000e+00 6.040814000000e+02 0.000000000000e+00 0.000000000000e+00 7.070493000000e+02 1.805066000000e+02 0.000000000000e+00 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 0.000000000000e+00
+P1: 7.070493000000e+02 0.000000000000e+00 6.040814000000e+02 -3.797842000000e+02 0.000000000000e+00 7.070493000000e+02 1.805066000000e+02 0.000000000000e+00 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 0.000000000000e+00
+P2: 7.070493000000e+02 0.000000000000e+00 6.040814000000e+02 4.575831000000e+01 0.000000000000e+00 7.070493000000e+02 1.805066000000e+02 -3.454157000000e-01 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 4.981016000000e-03
+P3: 7.070493000000e+02 0.000000000000e+00 6.040814000000e+02 -3.341081000000e+02 0.000000000000e+00 7.070493000000e+02 1.805066000000e+02 2.330660000000e+00 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 3.201153000000e-03
+R0_rect: 9.999128000000e-01 1.009263000000e-02 -8.511932000000e-03 -1.012729000000e-02 9.999406000000e-01 -4.037671000000e-03 8.470675000000e-03 4.123522000000e-03 9.999556000000e-01
+Tr_velo_to_cam: 6.927964000000e-03 -9.999722000000e-01 -2.757829000000e-03 -2.457729000000e-02 -1.162982000000e-03 2.749836000000e-03 -9.999955000000e-01 -6.127237000000e-02 9.999753000000e-01 6.931141000000e-03 -1.143899000000e-03 -3.321029000000e-01
+"""
+
+
+def make_frame(rng, n_ground=12000, cars=()):
+    """Velodyne-frame points: ground plane + boxes of car-like clusters."""
+    pts = np.zeros((n_ground, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(3, 70, n_ground)
+    pts[:, 1] = rng.uniform(-25, 25, n_ground)
+    pts[:, 2] = rng.uniform(-1.75, -1.55, n_ground)  # ground
+    pts[:, 3] = rng.uniform(0, 1, n_ground)
+    clusters = [pts]
+    for (vx, vy) in cars:
+        m = 400
+        c = np.zeros((m, 4), dtype=np.float32)
+        c[:, 0] = rng.uniform(vx - 2.0, vx + 2.0, m)
+        c[:, 1] = rng.uniform(vy - 0.9, vy + 0.9, m)
+        c[:, 2] = rng.uniform(-1.6, -0.1, m)
+        c[:, 3] = rng.uniform(0, 1, m)
+        clusters.append(c)
+    return np.concatenate(clusters, axis=0)
+
+
+def car_label_line(x_velo, y_velo):
+    """A car label in camera coords for a cluster at velo (x, y)."""
+    # velo (x fwd, y left, z up) ~ cam (z fwd, x right, y down)
+    x3d, y3d, z3d = -y_velo, 1.65, x_velo
+    return (
+        "Car 0.00 0 1.85 300.00 150.00 500.00 250.00 "
+        "1.60 1.80 4.00 %.2f %.2f %.2f 0.05" % (x3d, y3d, z3d)
+    )
+
+
+def main(out_dir, num_frames=4):
+    dirs = {
+        "image": os.path.join(out_dir, "image/training/image_2"),
+        "velo": os.path.join(out_dir, "velodyne/training/velodyne"),
+        "calib": os.path.join(out_dir, "calib/training/calib"),
+        "label": os.path.join(out_dir, "labels/training/label_2"),
+        "splits": os.path.join(out_dir, "3DOP_splits"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(num_frames):
+        name = "%06d" % i
+        names.append(name)
+        cars = [(20.0 + 5 * i, -3.0), (35.0, 4.0)]
+        make_frame(rng, cars=cars).tofile(
+            os.path.join(dirs["velo"], name + ".bin")
+        )
+        with open(os.path.join(dirs["calib"], name + ".txt"), "w") as f:
+            f.write(CALIB_TEXT)
+        with open(os.path.join(dirs["label"], name + ".txt"), "w") as f:
+            for (vx, vy) in cars:
+                f.write(car_label_line(vx, vy) + "\n")
+        img = rng.integers(0, 255, (375, 1242, 3)).astype(np.uint8)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(dirs["image"], name + ".png"), img)
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(img).save(
+                os.path.join(dirs["image"], name + ".png")
+            )
+    with open(os.path.join(dirs["splits"], "val.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(dirs["splits"], "train.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    print("synthetic KITTI written to %s (%d frames)" % (out_dir, num_frames))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 4)
