@@ -274,12 +274,23 @@ def tpu_settings(name_or_label: str = "Car") -> Dict:
         cap = GraphCapacity(
             vertices=(32768, 16384, 16384), edges=(262144, 1048576)
         )
+        runtime_cap = GraphCapacity(
+            vertices=(49152, 24576, 24576), edges=(524288, 2097152)
+        )
     else:
         cap = GraphCapacity(
             vertices=(32768, 12288, 12288), edges=(262144, 2097152)
         )
+        # inference graphs use scale 0.5 (finer voxels) with uncapped
+        # neighbors (configs/car_auto_T3_train_config:157-180), so they
+        # need roughly 2x the vertex budget; edge overflow degrades to a
+        # balanced per-center neighbor cap rather than lost vertices.
+        runtime_cap = GraphCapacity(
+            vertices=(49152, 20480, 20480), edges=(524288, 3145728)
+        )
     return {
         "frame_capacity": cap,
+        "runtime_capacity": runtime_cap,
         "frames_per_device": 2,  # reference: batch 4 over 2 GPUs
         "compute_dtype": None,   # None = f32 params, bf16 MXU (XLA default)
     }

@@ -196,6 +196,15 @@ def batch_and_pad(
     for li in range(num_levels + 1):
         nv = vertex_levels[li].shape[0]
         if nv > caps_v[li]:
+            import warnings
+
+            warnings.warn(
+                "vertex overflow at level %d: %d > capacity %d; "
+                "truncating (detections may be lost — raise the "
+                "GraphCapacity for this workload)" % (li, nv, caps_v[li]),
+                RuntimeWarning,
+                stacklevel=2,
+            )
             vertex_levels[li] = vertex_levels[li][: caps_v[li]]
     # clamp keypoints / edges that reference dropped vertices
     for li in range(num_levels):

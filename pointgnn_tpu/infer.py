@@ -125,7 +125,7 @@ class InferencePipeline:
             from pointgnn_tpu import configs as cfg_mod
 
             capacity = cfg_mod.tpu_settings(self.label_method)[
-                "frame_capacity"
+                "runtime_capacity"
             ]
         self.capacity = capacity
 
@@ -149,6 +149,12 @@ class InferencePipeline:
         self.time_dict: Dict[str, float] = {}
         self.frames_done = 0
         self._device_fn = jax.jit(self._build_device_fn())
+        # The first device->host fetch of a process can pay a large
+        # one-time channel-setup cost on tunneled TPU backends; absorb
+        # it here so per-frame stage timings reflect steady state.
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros(8, jnp.float32))
 
     # ------------------------------------------------------------------
     def _build_device_fn(self):
