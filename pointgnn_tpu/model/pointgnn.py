@@ -45,6 +45,8 @@ class PointGNN:
         regularizer_kwargs: Optional[dict] = None,
         mode: str = "train",
         compute_dtype=None,
+        remat: Optional[bool] = None,
+        edge_chunks: Optional[int] = None,
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -52,6 +54,18 @@ class PointGNN:
         self.layer_configs = list(layer_configs)
         self.mode = mode
         self.compute_dtype = compute_dtype
+        # Rematerialize each layer during training: the edge-MLP
+        # activations ([E_cap, width] per MLP layer) dominate HBM at
+        # full capacity; recomputing them in the backward pass trades a
+        # second forward for gigabytes of activation memory.
+        self.remat = (mode == "train") if remat is None else remat
+        # Stream the edge MLP + segment reduce in chunks under lax.scan:
+        # bounds live edge activations to E/edge_chunks rows in forward
+        # AND backward (see nn.segment.chunked_aggregate).  Training
+        # needs this to fit multi-million-edge capacities in HBM.
+        if edge_chunks is None:
+            edge_chunks = 16 if mode == "train" else 1
+        self.edge_chunks = edge_chunks
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -119,29 +133,36 @@ class PointGNN:
             g = cfg["graph_level"]
             kw = dict(cfg["kwargs"])
             kw["compute_dtype"] = self.compute_dtype
+            kw["edge_chunks"] = self.edge_chunks
             layer = self._layers[i]
             p = params[cfg["scope"]]
             if isinstance(layer, PointSetPooling):
-                features = layer.apply(
-                    p,
-                    features,
-                    graph.vertex_xyz[g],
-                    graph.vertex_xyz[g + 1],
-                    graph.edges_src[g],
-                    graph.edges_dst[g],
-                    center_mask=graph.vertex_mask[g + 1],
-                    **kw,
-                )
+                def run(p, features, layer=layer, g=g, kw=kw):
+                    return layer.apply(
+                        p,
+                        features,
+                        graph.vertex_xyz[g],
+                        graph.vertex_xyz[g + 1],
+                        graph.edges_src[g],
+                        graph.edges_dst[g],
+                        center_mask=graph.vertex_mask[g + 1],
+                        **kw,
+                    )
             else:
-                features = layer.apply(
-                    p,
-                    features,
-                    graph.vertex_xyz[g],
-                    graph.edges_src[g],
-                    graph.edges_dst[g],
-                    vertex_mask=graph.vertex_mask[g],
-                    **kw,
-                )
+                def run(p, features, layer=layer, g=g, kw=kw):
+                    return layer.apply(
+                        p,
+                        features,
+                        graph.vertex_xyz[g],
+                        graph.edges_src[g],
+                        graph.edges_dst[g],
+                        vertex_mask=graph.vertex_mask[g],
+                        **kw,
+                    )
+
+            if self.remat:
+                run = jax.checkpoint(run)
+            features = run(p, features)
         pred_cfg = self.layer_configs[-1]
         logits, box_encodings = self._predictor.apply(
             params[pred_cfg["scope"]],

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pointgnn_tpu.nn import mlp
-from pointgnn_tpu.nn.segment import AGGREGATIONS
+from pointgnn_tpu.nn.segment import AGGREGATIONS, chunked_aggregate
 
 
 class PointSetPooling:
@@ -33,6 +33,7 @@ class PointSetPooling:
 
     def __init__(self, aggregation: str = "max"):
         self._agg = AGGREGATIONS[aggregation]
+        self._agg_name = aggregation
 
     def init(
         self,
@@ -73,20 +74,30 @@ class PointSetPooling:
         output_MLP_normalization_type="fused_BN_center",
         output_MLP_activation_type="ReLU",
         compute_dtype=None,
+        edge_chunks=1,
     ):
         num_centers = center_xyz.shape[0]
-        sf = point_features[edges_src]
-        # relative coordinates to the set's keypoint (gnn.py:256-267)
-        dst = jnp.minimum(edges_dst, num_centers - 1)
-        rel = point_xyz[edges_src] - center_xyz[dst]
-        edge_in = jnp.concatenate([sf, rel.astype(sf.dtype)], axis=-1)
-        edge_feat = mlp.apply_mlp(
-            params["point_mlp"], edge_in, is_logits=False,
-            normalization_type=point_MLP_normalization_type,
-            activation_type=point_MLP_activation_type,
-            compute_dtype=compute_dtype,
+
+        def edge_fn(src, dst_raw):
+            sf = point_features[src]
+            # relative coordinates to the set's keypoint (gnn.py:256-267)
+            dst = jnp.minimum(dst_raw, num_centers - 1)
+            rel = point_xyz[src] - center_xyz[dst]
+            edge_in = jnp.concatenate([sf, rel.astype(sf.dtype)], axis=-1)
+            return mlp.apply_mlp(
+                params["point_mlp"], edge_in, is_logits=False,
+                normalization_type=point_MLP_normalization_type,
+                activation_type=point_MLP_activation_type,
+                compute_dtype=compute_dtype,
+            )
+
+        agg = chunked_aggregate(
+            edge_fn, edges_src, edges_dst, num_centers,
+            out_dim=point_MLP_depth_list[-1],
+            aggregation=self._agg_name,
+            num_chunks=edge_chunks,
+            dtype=point_features.dtype,
         )
-        agg = self._agg(edge_feat, edges_dst, num_centers)
         out = mlp.apply_mlp(
             params["output_mlp"], agg, is_logits=False,
             normalization_type=output_MLP_normalization_type,
@@ -103,6 +114,7 @@ class GraphNetAutoCenter:
 
     def __init__(self, aggregation: str = "max"):
         self._agg = AGGREGATIONS[aggregation]
+        self._agg_name = aggregation
 
     def init(
         self,
@@ -154,11 +166,9 @@ class GraphNetAutoCenter:
         auto_offset_MLP_normalization_type="fused_BN_center",
         auto_offset_MLP_feature_activation_type="ReLU",
         compute_dtype=None,
+        edge_chunks=1,
     ):
         n = vertex_features.shape[0]
-        # source side uses the *unshifted* coordinates (gnn.py:337-339)
-        s_feat = vertex_features[edges_src]
-        s_xyz = vertex_xyz[edges_src]
         # auto-registration offsets shift only the destination coords
         # (gnn.py:341-348)
         if auto_offset:
@@ -171,18 +181,29 @@ class GraphNetAutoCenter:
             shifted_xyz = vertex_xyz + offset.astype(vertex_xyz.dtype)
         else:
             shifted_xyz = vertex_xyz
-        dst = jnp.minimum(edges_dst, n - 1)
-        d_xyz = shifted_xyz[dst]
-        edge_in = jnp.concatenate(
-            [s_feat, (s_xyz - d_xyz).astype(s_feat.dtype)], axis=-1
+
+        def edge_fn(src, dst_raw):
+            # source side uses the *unshifted* coordinates (gnn.py:337-339)
+            s_feat = vertex_features[src]
+            s_xyz = vertex_xyz[src]
+            d_xyz = shifted_xyz[jnp.minimum(dst_raw, n - 1)]
+            edge_in = jnp.concatenate(
+                [s_feat, (s_xyz - d_xyz).astype(s_feat.dtype)], axis=-1
+            )
+            return mlp.apply_mlp(
+                params["edge_mlp"], edge_in, is_logits=False,
+                normalization_type=edge_MLP_normalization_type,
+                activation_type=edge_MLP_activation_type,
+                compute_dtype=compute_dtype,
+            )
+
+        agg = chunked_aggregate(
+            edge_fn, edges_src, edges_dst, n,
+            out_dim=edge_MLP_depth_list[-1],
+            aggregation=self._agg_name,
+            num_chunks=edge_chunks,
+            dtype=vertex_features.dtype,
         )
-        edge_feat = mlp.apply_mlp(
-            params["edge_mlp"], edge_in, is_logits=False,
-            normalization_type=edge_MLP_normalization_type,
-            activation_type=edge_MLP_activation_type,
-            compute_dtype=compute_dtype,
-        )
-        agg = self._agg(edge_feat, edges_dst, n)
         update = mlp.apply_mlp(
             params["update_mlp"], agg, is_logits=True,
             normalization_type=update_MLP_normalization_type,

@@ -63,3 +63,90 @@ AGGREGATIONS = {
     "sum": segment_sum,
     "mean": segment_mean,
 }
+
+
+def chunked_aggregate(
+    edge_fn,
+    edges_src,
+    edges_dst,
+    num_centers: int,
+    out_dim: int,
+    aggregation: str,
+    num_chunks: int,
+    dtype=jnp.float32,
+):
+    """Streaming edge aggregation: ``agg(edge_fn(src, dst))`` computed in
+    ``num_chunks`` blocks under ``lax.scan`` with a rematerialized body.
+
+    Peak live memory drops from O(E x width) to O(E/num_chunks x width)
+    plus the [num_centers, out_dim] running aggregate — in the backward
+    pass too (each chunk's edge activations are recomputed).  This is
+    what makes training at multi-million-edge capacities fit in HBM.
+
+    ``edge_fn(src_idx [B], dst_idx [B]) -> [B, out_dim]`` gathers and
+    transforms one block (closure over vertex tensors is fine).  Edges
+    must be globally dst-sorted with sentinel ``num_centers`` padding —
+    every chunk of a sorted list is sorted.
+    """
+    E = edges_src.shape[0]
+    if num_chunks <= 1 or E % num_chunks != 0:
+        return AGGREGATIONS[aggregation](
+            edge_fn(edges_src, edges_dst), edges_dst, num_centers
+        )
+    src_chunks = edges_src.reshape(num_chunks, -1)
+    dst_chunks = edges_dst.reshape(num_chunks, -1)
+    n_seg = num_centers + 1
+
+    def _match_vma(init):
+        """Give the scan carry the same varying-manual-axes type as the
+        body output so this works inside shard_map (the body's output
+        varies over the mesh axes of the edge inputs)."""
+        vma = getattr(jax.typeof(edges_src), "vma", None)
+        if vma:
+            return jax.lax.pcast(init, tuple(vma), to="varying")
+        return init
+
+    if aggregation == "max":
+        init = _match_vma(jnp.full((n_seg, out_dim), -jnp.inf, dtype))
+
+        def body(carry, xs):
+            src, dst = xs
+            part = jax.ops.segment_max(
+                edge_fn(src, dst).astype(dtype), dst,
+                num_segments=n_seg, indices_are_sorted=True,
+            )
+            return jnp.maximum(carry, part), None
+
+        agg, _ = jax.lax.scan(
+            jax.checkpoint(body), init, (src_chunks, dst_chunks)
+        )
+        agg = agg[:num_centers]
+        return jnp.where(jnp.isfinite(agg), agg, 0.0)
+
+    # sum / mean: accumulate sums (and counts for mean)
+    init = (
+        _match_vma(jnp.zeros((n_seg, out_dim), dtype)),
+        _match_vma(jnp.zeros((n_seg, 1), dtype)),
+    )
+
+    def body(carry, xs):
+        src, dst = xs
+        vals, counts = carry
+        ef = edge_fn(src, dst).astype(dtype)
+        vals = vals + jax.ops.segment_sum(
+            ef, dst, num_segments=n_seg, indices_are_sorted=True
+        )
+        counts = counts + jax.ops.segment_sum(
+            jnp.ones((ef.shape[0], 1), dtype), dst,
+            num_segments=n_seg, indices_are_sorted=True,
+        )
+        return (vals, counts), None
+
+    (vals, counts), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (src_chunks, dst_chunks)
+    )
+    if aggregation == "sum":
+        return vals[:num_centers]
+    if aggregation == "mean":
+        return (vals / jnp.maximum(counts, 1.0))[:num_centers]
+    raise ValueError("unknown aggregation %s" % aggregation)

@@ -40,7 +40,7 @@ def init_train_state(params, optimizer) -> TrainState:
     )
 
 
-def make_loss_fn(model, loss_cfg):
+def make_loss_fn(model, loss_cfg, with_logits: bool = False):
     """Per-device total loss over one padded graph."""
 
     def loss_fn(params, graph: PaddedGraph, unify_weights=None):
@@ -62,6 +62,8 @@ def make_loss_fn(model, loss_cfg):
             loc_loss = loc_loss * vw
         total = cls_loss + loc_loss + d["reg_loss"]
         d = dict(d, cls_loss=cls_loss, loc_loss=loc_loss, total_loss=total)
+        if with_logits:
+            d["logits"] = jax.lax.stop_gradient(logits)
         return total, d
 
     return loss_fn
@@ -86,14 +88,30 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     unify_copies: bool = True,
     num_levels: int = 2,
+    with_metrics: bool = False,
 ):
     """Build the jitted step.
 
     With a mesh: expects a stacked PaddedGraph (leading device axis
     sharded over DATA_AXIS); runs SPMD with psum/pmean collectives.
     Without: a plain single-device step.
+
+    ``with_metrics`` adds the streaming-metric count updates of
+    :mod:`pointgnn_tpu.train.metrics` (confusion + PR histograms) to the
+    aux dict, computed on device and summed across the mesh.
     """
-    loss_fn = make_loss_fn(model, loss_cfg)
+    loss_fn = make_loss_fn(model, loss_cfg, with_logits=with_metrics)
+
+    def _metric_updates(aux, graph):
+        from pointgnn_tpu.train import metrics as metrics_lib
+
+        logits = aux.pop("logits")
+        return metrics_lib.device_updates(
+            logits,
+            graph.cls_labels,
+            graph.vertex_mask[model.output_graph_level],
+            model.num_classes,
+        )
 
     def _apply_updates(state, grads, aux):
         updates, opt_state = optimizer.update(
@@ -109,6 +127,8 @@ def make_train_step(
             (_, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, graph)
+            if with_metrics:
+                aux.update(_metric_updates(aux, graph))
             return _apply_updates(state, grads, aux)
 
         return step
@@ -142,12 +162,19 @@ def make_train_step(
         (_, aux), grads = jax.value_and_grad(scaled_loss, has_aux=True)(
             params, graph, weights
         )
+        metric_aux = {}
+        if with_metrics:
+            metric_aux = {
+                k: jax.lax.psum(v, DATA_AXIS)
+                for k, v in _metric_updates(aux, graph).items()
+            }
         out = {}
         for k, v in aux.items():
             if k in _SCALAR_KEYS:
                 out[k] = jax.lax.pmean(v, DATA_AXIS)
             else:
                 out[k] = jnp.asarray(v)[None]  # keep per-device values
+        out.update(metric_aux)
         return grads, out
 
     graph_specs = PaddedGraph(
@@ -163,6 +190,10 @@ def make_train_step(
     )
     aux_specs = {k: P() for k in _SCALAR_KEYS}
     aux_specs.update({k: P(DATA_AXIS) for k in _PER_DEVICE_KEYS})
+    if with_metrics:
+        aux_specs.update(
+            {k: P() for k in ("confusion", "pr_pos_hist", "pr_neg_hist")}
+        )
 
     sharded_grads = shard_map(
         _spmd_grads,

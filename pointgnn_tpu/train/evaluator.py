@@ -1,0 +1,138 @@
+"""Continuous checkpoint evaluation (the reference's eval.py).
+
+Polls a training directory, evaluates each new checkpoint over the eval
+split with the same loss + streaming-metric set as training, and writes
+scalars to a separate eval directory — behavioral parity with
+/root/reference/eval.py:297-397 (``eval_once`` / ``eval_repeat``,
+skip-already-evaluated, stop at ``max_step``).  The forward + loss +
+metric counts run as one jitted device program per frame.
+"""
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from pointgnn_tpu.graph import pad
+from pointgnn_tpu.model import encodings
+from pointgnn_tpu.model.pointgnn import get_model
+from pointgnn_tpu.infer import input_feature_dim
+from pointgnn_tpu.parallel import step as step_lib
+from pointgnn_tpu.train import checkpoint as ckpt_lib
+from pointgnn_tpu.train import metrics as metrics_lib
+from pointgnn_tpu.train import summary
+from pointgnn_tpu.train.pipeline import DataProvider, FetchSpec
+from pointgnn_tpu.train.trainer import loss_config
+
+
+class Evaluator:
+    def __init__(
+        self,
+        config: Dict,
+        eval_config: Dict,
+        fetch_spec: FetchSpec,
+        num_frames: int,
+        capacity: Optional[pad.GraphCapacity] = None,
+    ):
+        import jax
+
+        self.config = config
+        self.eval_config = eval_config
+        self.num_frames = num_frames
+        enc_len = encodings.get_encoding_len(config["box_encoding_method"])
+        self.model = get_model(config["model_name"])(
+            num_classes=config["num_classes"],
+            box_encoding_len=enc_len,
+            mode="eval",
+            **config["model_kwargs"],
+        )
+        if capacity is None:
+            from pointgnn_tpu import configs as cfg_mod
+
+            capacity = cfg_mod.tpu_settings(config["label_method"])[
+                "frame_capacity"
+            ]
+        self.capacity = capacity
+        loss_fn = step_lib.make_loss_fn(
+            self.model, loss_config(config), with_logits=True
+        )
+
+        def eval_step(params, graph):
+            _, aux = loss_fn(params, graph)
+            logits = aux.pop("logits")
+            aux.update(
+                metrics_lib.device_updates(
+                    logits,
+                    graph.cls_labels,
+                    graph.vertex_mask[self.model.output_graph_level],
+                    self.model.num_classes,
+                )
+            )
+            return aux
+
+        self._eval_step = jax.jit(eval_step)
+        self._template = self.model.init(
+            jax.random.PRNGKey(0),
+            input_dim=input_feature_dim(config["input_features"]),
+        )
+        self.metrics = metrics_lib.StreamingMetrics(
+            config["num_classes"], enc_len
+        )
+        self.provider = DataProvider(
+            fetch_spec._replace(is_eval=True),
+            load_dataset_to_mem=False,
+            num_workers=eval_config.get("num_load_dataset_workers", 0),
+            num_frames=num_frames,
+        )
+        self._evaluated_steps = set()
+
+    # ------------------------------------------------------------------
+    def eval_once(self, train_dir: str, eval_dir: str, step: int) -> Dict:
+        """Evaluate checkpoint ``model-<step>`` over the split
+        (eval.py:297-375)."""
+        import jax
+
+        state, _ = ckpt_lib.restore_checkpoint(train_dir, step=step)
+        params = state["params"] if "params" in state else state
+        params = jax.device_put(params)
+        self.metrics.reset()
+        t0 = time.time()
+        for frame_idx in range(self.num_frames):
+            frame = self.provider.provide(frame_idx)
+            graph = pad.batch_and_pad([frame], self.capacity)
+            aux = self._eval_step(params, graph)
+            self.metrics.update(jax.device_get(aux))
+        results = self.metrics.print_epoch(
+            step, 0, 0.0, time.time() - t0
+        )
+        for key, value in results.items():
+            summary.write_summary_scale(key, value, step, eval_dir)
+        self._evaluated_steps.add(step)
+        return results
+
+    def eval_repeat(
+        self,
+        train_dir: str,
+        eval_dir: str,
+        eval_every_second: float = 60,
+        max_step: int = -1,
+        max_polls: Optional[int] = None,
+    ):
+        """Poll train_dir for new checkpoints (eval.py:377-397)."""
+        polls = 0
+        while True:
+            steps = ckpt_lib.list_checkpoint_steps(train_dir)
+            fresh = [s for s in steps if s not in self._evaluated_steps]
+            for step in fresh:
+                print("Evaluating checkpoint at step %d" % step)
+                self.eval_once(train_dir, eval_dir, step)
+                if 0 < max_step <= step:
+                    return
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                return
+            time.sleep(eval_every_second)
+
+    def close(self):
+        self.provider.close()

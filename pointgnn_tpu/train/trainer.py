@@ -1,0 +1,242 @@
+"""Training driver: epoch loop, DP over a device mesh, streaming
+metrics, summaries, checkpoint/resume.
+
+Restructures the reference session loop (/root/reference/train.py:
+500-650) TPU-first: frames are graph-union batched per device
+(train.py:135-171), stacked over a 1-D data mesh, and one jitted SPMD
+step computes loss + grads + metric counts with psum/pmean over ICI.
+Epoch bookkeeping matches the reference: resume recomputes the epoch
+from the restored step (train.py:512-519), metrics reset per epoch,
+checkpoints (with frozen configs) every ``save_every_epoch`` epochs, at
+``max_steps``, and at exit.
+"""
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from pointgnn_tpu.graph import pad
+from pointgnn_tpu.model import encodings
+from pointgnn_tpu.model.pointgnn import get_model
+from pointgnn_tpu.infer import input_feature_dim
+from pointgnn_tpu.parallel import mesh as mesh_lib
+from pointgnn_tpu.parallel import step as step_lib
+from pointgnn_tpu.train import checkpoint as ckpt_lib
+from pointgnn_tpu.train import metrics as metrics_lib
+from pointgnn_tpu.train import optimizers as opt_lib
+from pointgnn_tpu.train import summary
+from pointgnn_tpu.train.pipeline import DataProvider, FetchSpec
+
+
+def loss_config(config: Dict) -> Dict:
+    """Map the reference 'loss' config block onto model.loss kwargs."""
+    loss = dict(config.get("loss", {}))
+    out = {}
+    for key in (
+        "cls_loss_type", "cls_loss_kwargs", "loc_loss_type",
+        "loc_loss_kwargs", "loc_loss_weight", "cls_loss_weight",
+    ):
+        if key in loss:
+            out[key] = loss[key]
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Dict,
+        train_config: Dict,
+        fetch_spec: FetchSpec,
+        num_frames: int,
+        capacity: Optional[pad.GraphCapacity] = None,
+        n_devices: Optional[int] = None,
+        seed: int = 0,
+    ):
+        import jax
+
+        self.config = config
+        self.train_config = train_config
+        self.num_frames = num_frames
+        enc_len = encodings.get_encoding_len(config["box_encoding_method"])
+        self.model = get_model(config["model_name"])(
+            num_classes=config["num_classes"],
+            box_encoding_len=enc_len,
+            mode="train",
+            **config["model_kwargs"],
+        )
+        if capacity is None:
+            from pointgnn_tpu import configs as cfg_mod
+
+            capacity = cfg_mod.tpu_settings(config["label_method"])[
+                "frame_capacity"
+            ]
+        self.capacity = capacity
+
+        # devices: the reference's NUM_GPU x COPY_PER_GPU towers become
+        # min(requested, available) mesh devices (train.py:174-182)
+        requested = train_config.get("NUM_GPU", 1) * train_config.get(
+            "COPY_PER_GPU", 1
+        )
+        if n_devices is None:
+            n_devices = min(requested, len(jax.devices()))
+        self.n_devices = max(n_devices, 1)
+        self.mesh = (
+            mesh_lib.make_mesh(self.n_devices) if self.n_devices > 1 else None
+        )
+        self.batch_size = train_config.get("batch_size", 1)
+        assert self.batch_size % self.n_devices == 0, (
+            "batch_size %d must divide over %d devices"
+            % (self.batch_size, self.n_devices)
+        )
+        self.frames_per_device = self.batch_size // self.n_devices
+
+        self.optimizer, self.lr_schedule = opt_lib.build_from_train_config(
+            train_config
+        )
+        self.step_fn = step_lib.make_train_step(
+            self.model,
+            self.optimizer,
+            loss_config(config),
+            mesh=self.mesh,
+            unify_copies=train_config.get("unify_copies", True),
+            num_levels=len(config["graph_gen_kwargs"]["level_configs"]),
+            with_metrics=True,
+        )
+        params = self.model.init(
+            jax.random.PRNGKey(seed),
+            input_dim=input_feature_dim(config["input_features"]),
+        )
+        self.state = step_lib.init_train_state(params, self.optimizer)
+        self.metrics = metrics_lib.StreamingMetrics(
+            config["num_classes"], enc_len
+        )
+        self.provider = DataProvider(
+            fetch_spec,
+            load_dataset_to_mem=train_config.get("load_dataset_to_mem", True),
+            load_dataset_every_N_time=train_config.get(
+                "load_dataset_every_N_time", 1
+            ),
+            capacity=train_config.get("capacity", 1),
+            num_workers=train_config.get("num_load_dataset_workers", 0),
+            num_frames=num_frames,
+            preload_list=list(range(num_frames))
+            if train_config.get("load_dataset_to_mem", True)
+            and train_config.get("num_load_dataset_workers", 0) > 0
+            else (),
+            seed=seed,
+        )
+        self.train_dir = train_config["train_dir"]
+        self._rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    @property
+    def global_step(self) -> int:
+        return int(np.asarray(self.state.step))
+
+    def restore(self) -> int:
+        """Resume from the latest checkpoint in train_dir
+        (train.py:508-519)."""
+        state, step = ckpt_lib.restore_checkpoint(
+            self.train_dir, template=self.state
+        )
+        if state is not None:
+            self.state = state
+            print("Restored checkpoint at step %d from %s" % (
+                step, self.train_dir
+            ))
+        return step
+
+    def save(self):
+        ckpt_lib.save_checkpoint(
+            self.train_dir,
+            self.global_step,
+            self.state,
+            config=self.config,
+            train_config=self.train_config,
+        )
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, frame_indices) -> pad.PaddedGraph:
+        frames = self.provider.provide_batch(frame_indices)
+        return pad.batch_and_pad(frames, self.capacity, self._rng)
+
+    def train_batch(self, frame_indices) -> Dict:
+        """One optimizer step over batch_size frames."""
+        assert len(frame_indices) == self.batch_size
+        per_dev = [
+            self._device_batch(
+                frame_indices[
+                    d * self.frames_per_device:(d + 1) * self.frames_per_device
+                ]
+            )
+            for d in range(self.n_devices)
+        ]
+        if self.mesh is not None:
+            graph = mesh_lib.shard_batch(
+                self.mesh, mesh_lib.stack_graphs(per_dev)
+            )
+        else:
+            graph = per_dev[0]
+        self.state, aux = self.step_fn(self.state, graph)
+        return aux
+
+    def train(
+        self,
+        max_epoch: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        log_fn=None,
+    ):
+        """Full training run (train.py:519-650)."""
+        import jax
+
+        max_epoch = max_epoch or self.train_config.get("max_epoch", 1)
+        max_steps = (
+            max_steps
+            if max_steps is not None
+            else self.train_config.get("max_steps", -1)
+        )
+        start_epoch = (self.global_step * self.batch_size) // max(
+            self.num_frames, 1
+        )
+        for epoch_idx in range(start_epoch, max_epoch):
+            self.metrics.reset()
+            epoch_start = time.time()
+            order = self._rng.permutation(self.num_frames)
+            aux = None
+            for batch_idx in range(
+                0, self.num_frames - self.batch_size + 1, self.batch_size
+            ):
+                aux = self.train_batch(
+                    order[batch_idx:batch_idx + self.batch_size]
+                )
+                self.metrics.update(jax.device_get(aux))
+                if 0 < max_steps <= self.global_step:
+                    print("save checkpoint at step %d to %s"
+                          % (self.global_step, self.train_dir))
+                    self.save()
+                    return
+            lr = float(self.lr_schedule(self.global_step))
+            results = self.metrics.print_epoch(
+                self.global_step, epoch_idx, lr, time.time() - epoch_start
+            )
+            for key, value in results.items():
+                summary.write_summary_scale(
+                    key, value, self.global_step, self.train_dir
+                )
+            summary.write_summary_scale(
+                "learning rate", lr, self.global_step, self.train_dir
+            )
+            if log_fn is not None:
+                log_fn(epoch_idx, self.global_step, results)
+            if (epoch_idx + 1) % self.train_config.get(
+                "save_every_epoch", 20
+            ) == 0:
+                print("save checkpoint at epoch %d to %s"
+                      % (epoch_idx, self.train_dir))
+                self.save()
+        self.save()
+
+    def close(self):
+        self.provider.close()

@@ -1,0 +1,71 @@
+"""Evaluator: eval_once over a trained checkpoint, eval_repeat polling."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.graph.pad import GraphCapacity
+from pointgnn_tpu.train.evaluator import Evaluator
+from pointgnn_tpu.train.pipeline import DatasetSpec, FetchSpec
+from pointgnn_tpu.train.trainer import Trainer
+
+SMALL_CAP = GraphCapacity(vertices=(8192, 2048, 2048), edges=(32768, 65536))
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_eval_root"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_synthetic_kitti.py"),
+            root, "2",
+        ],
+        check=True,
+    )
+    config = configs.model_config("Car", T=0)
+    train_config = configs.train_config("Car")
+    train_dir = os.path.join(root, "train_dir")
+    train_config.update(
+        {
+            "train_dir": train_dir, "batch_size": 2, "NUM_GPU": 1,
+            "num_load_dataset_workers": 0, "max_epoch": 1, "max_steps": -1,
+            "save_every_epoch": 1, "initial_lr": 0.01,
+        }
+    )
+    spec = DatasetSpec.from_kitti_root(root, num_classes=4)
+    trainer = Trainer(
+        config, train_config, FetchSpec(spec, config, train_config),
+        num_frames=2, capacity=SMALL_CAP,
+    )
+    trainer.train()
+    trainer.close()
+    return root, train_dir, config, spec
+
+
+def test_eval_once_and_repeat(trained_dir):
+    root, train_dir, config, spec = trained_dir
+    eval_config = configs.eval_config("Car")
+    eval_dir = os.path.join(root, "eval_dir")
+    evaluator = Evaluator(
+        config, eval_config, FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2, capacity=SMALL_CAP,
+    )
+    try:
+        results = evaluator.eval_once(train_dir, eval_dir, step=1)
+        assert np.isfinite(results["total_loss"])
+        assert "mAP_1" in results
+        assert os.path.isfile(os.path.join(eval_dir, "scalars.jsonl"))
+        # eval_repeat skips already-evaluated checkpoints and honors
+        # max_polls without sleeping forever
+        evaluator.eval_repeat(
+            train_dir, eval_dir, eval_every_second=0.01, max_polls=2
+        )
+        assert evaluator._evaluated_steps == {1}
+    finally:
+        evaluator.close()

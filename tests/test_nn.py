@@ -202,3 +202,43 @@ def test_separated_predictor_splits_features(rng):
     np.testing.assert_allclose(
         np.asarray(boxes[:, 0]), np.asarray(boxes2[:, 0]), rtol=1e-5
     )
+
+
+def test_chunked_aggregate_matches_unchunked():
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn import segment
+
+    rng = np.random.default_rng(0)
+    n, e, c = 64, 256, 8
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    dst[-16:] = n  # sentinel padding
+    src = rng.integers(0, n, e).astype(np.int32)
+    w = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32))
+
+    def edge_fn(s, d):
+        return jnp.maximum(feats[s] @ w, 0.0)
+
+    for agg in ("max", "sum", "mean"):
+        ref = segment.AGGREGATIONS[agg](edge_fn(src, dst), jnp.asarray(dst), n)
+        chunked = segment.chunked_aggregate(
+            edge_fn, jnp.asarray(src), jnp.asarray(dst), n, c, agg, 8
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(chunked),
+                                   rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the chunked path
+    def loss(f):
+        def efn(s, d):
+            return jnp.maximum(f[s] @ w, 0.0)
+        return jnp.sum(
+            segment.chunked_aggregate(
+                efn, jnp.asarray(src), jnp.asarray(dst), n, c, "max", 8
+            )
+        )
+
+    g = jax.grad(loss)(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

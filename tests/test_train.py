@@ -1,0 +1,240 @@
+"""Training stack: metrics math, fetch pipeline, provider cache, and a
+short end-to-end DP training run on the 8-device CPU mesh."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.graph.pad import GraphCapacity
+from pointgnn_tpu.train import metrics as metrics_lib
+from pointgnn_tpu.train.pipeline import (
+    DataProvider,
+    DatasetSpec,
+    FetchSpec,
+    build_fetch,
+)
+from pointgnn_tpu.train.trainer import Trainer
+
+SMALL_CAP = GraphCapacity(vertices=(8192, 2048, 2048), edges=(32768, 65536))
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_root"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_synthetic_kitti.py"),
+            root,
+            "4",
+        ],
+        check=True,
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def fetch_spec(kitti_root):
+    config = configs.model_config("Car", T=0)
+    train_config = configs.train_config("Car")
+    train_config["train_dir"] = os.path.join(kitti_root, "train_dir")
+    spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=4)
+    return FetchSpec(spec, config, train_config)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def test_interpolated_pr_auc_perfect_classifier():
+    # all positives above all negatives -> AUC ~ 1
+    edges = metrics_lib.thresholds()
+    pos = np.histogram([0.9] * 50, bins=edges)[0].astype(float)
+    neg = np.histogram([0.1] * 50, bins=edges)[0].astype(float)
+    pos_above = np.concatenate([np.cumsum(pos[::-1])[::-1], [0.0]])
+    neg_above = np.concatenate([np.cumsum(neg[::-1])[::-1], [0.0]])
+    auc = metrics_lib.interpolated_pr_auc(
+        pos_above, neg_above, pos.sum() - pos_above
+    )
+    assert auc == pytest.approx(1.0, abs=0.02)
+
+
+def test_interpolated_pr_auc_random_classifier():
+    rng = np.random.default_rng(0)
+    edges = metrics_lib.thresholds()
+    scores = rng.uniform(0, 1, 40000)
+    labels = rng.uniform(0, 1, 40000) < 0.3  # 30% positives
+    pos = np.histogram(scores[labels], bins=edges)[0].astype(float)
+    neg = np.histogram(scores[~labels], bins=edges)[0].astype(float)
+    pos_above = np.concatenate([np.cumsum(pos[::-1])[::-1], [0.0]])
+    neg_above = np.concatenate([np.cumsum(neg[::-1])[::-1], [0.0]])
+    auc = metrics_lib.interpolated_pr_auc(
+        pos_above, neg_above, pos.sum() - pos_above
+    )
+    # random classifier PR-AUC ~ positive rate
+    assert auc == pytest.approx(0.3, abs=0.03)
+
+
+def test_device_updates_and_streaming():
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(
+        [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    )
+    labels = jnp.asarray([0, 1, 2, 2])
+    mask = jnp.ones(4)
+    upd = metrics_lib.device_updates(logits, labels, mask, 3)
+    m = metrics_lib.StreamingMetrics(3)
+    m.update(
+        {
+            "cls_loss": 1.0,
+            "loc_loss": 2.0,
+            "reg_loss": 0.0,
+            "total_loss": 3.0,
+            **{k: np.asarray(v) for k, v in upd.items()},
+        }
+    )
+    r = m.results()
+    assert r["recall_0"] == 1.0 and r["precision_0"] == 1.0
+    assert r["recall_1"] == 1.0 and r["precision_1"] == 0.5
+    assert r["recall_2"] == 0.5 and r["precision_2"] == 1.0
+    assert r["cls_loss"] == 1.0 and r["total_loss"] == 3.0
+    # masked-out rows don't count
+    m2 = metrics_lib.StreamingMetrics(3)
+    upd2 = metrics_lib.device_updates(logits, labels, jnp.zeros(4), 3)
+    m2.update({k: np.asarray(v) for k, v in upd2.items()})
+    assert m2.results()["recall_0"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+def test_fetch_produces_frame_data(fetch_spec):
+    fetch = build_fetch(fetch_spec)
+    frame = fetch(0, seed=0)
+    assert frame.features.dtype == np.float32
+    assert len(frame.vertex_coord_list) == 3
+    assert frame.cls_labels.shape[0] == frame.vertex_coord_list[2].shape[0]
+    assert frame.encoded_boxes.shape[1:] == (1, 7)
+    # car clusters produce some positive labels
+    assert (frame.cls_labels > 0).sum() > 0
+    # eval mode skips augmentation but still yields labels
+    eval_fetch = build_fetch(fetch_spec._replace(is_eval=True))
+    frame_e = eval_fetch(0, seed=0)
+    assert (frame_e.cls_labels > 0).sum() > 0
+
+
+def test_provider_cache_and_workers(fetch_spec):
+    provider = DataProvider(
+        fetch_spec,
+        load_dataset_to_mem=True,
+        load_dataset_every_N_time=2,
+        capacity=1,
+        num_workers=2,
+        num_frames=4,
+        preload_list=[0, 1],
+        seed=0,
+    )
+    try:
+        a = provider.provide(0)
+        b = provider.provide(0)  # cached variant (ctr < N)
+        np.testing.assert_array_equal(a.features, b.features)
+        batch = provider.provide_batch([0, 1, 2, 3])
+        assert len(batch) == 4
+    finally:
+        provider.close()
+    # no-buffer mode refetches with fresh randomness
+    provider2 = DataProvider(
+        fetch_spec,
+        load_dataset_to_mem=False,
+        num_workers=0,
+        num_frames=4,
+        seed=0,
+    )
+    x = provider2.provide(0)
+    y = provider2.provide(0)
+    assert x.features.shape[1] == y.features.shape[1]
+    provider2.close()
+
+
+# ---------------------------------------------------------------------------
+# trainer (end-to-end, 8-device CPU mesh)
+# ---------------------------------------------------------------------------
+
+def test_trainer_short_run(fetch_spec, tmp_path):
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir"),
+            "batch_size": 4,
+            "NUM_GPU": 2,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 2,
+            "max_steps": -1,
+            "save_every_epoch": 1,
+            "initial_lr": 0.01,
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+        capacity=SMALL_CAP,
+    )
+    try:
+        assert trainer.n_devices == 2
+        trainer.train()
+        assert trainer.global_step == 2  # 4 frames / batch 4 = 1 step/epoch
+        # checkpoint written with frozen configs
+        assert os.path.isfile(os.path.join(train_config["train_dir"], "config"))
+        results = trainer.metrics.results()
+        assert np.isfinite(results["total_loss"])
+        # resume restores step
+        trainer2 = Trainer(
+            config,
+            train_config,
+            fetch_spec._replace(train_config=train_config),
+            num_frames=4,
+            capacity=SMALL_CAP,
+        )
+        step = trainer2.restore()
+        assert step == 2
+        trainer2.close()
+    finally:
+        trainer.close()
+
+
+def test_trainer_single_device(fetch_spec, tmp_path):
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_1dev"),
+            "batch_size": 2,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 1,
+            "max_steps": -1,
+            "initial_lr": 0.01,
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+        capacity=SMALL_CAP,
+    )
+    try:
+        aux = trainer.train_batch([0, 1])
+        assert np.isfinite(float(np.asarray(aux["total_loss"])))
+    finally:
+        trainer.close()
