@@ -99,10 +99,16 @@ class InferencePipeline:
         use_box_merge: bool = True,
         use_box_score: bool = True,
         seed: int = 0,
+        on_device_graph: bool = False,
+        device_spec=None,
+        edge_chunks: Optional[int] = None,
+        compute_dtype="auto",
+        max_hypotheses: int = 4096,
     ):
         import jax
 
         self.config = config
+        self.max_hypotheses = max_hypotheses
         self.label_method = config["label_method"]
         self.num_classes = config["num_classes"]
         self.use_box_merge = use_box_merge
@@ -114,10 +120,25 @@ class InferencePipeline:
         self.enc_len = encodings.get_encoding_len(
             config["box_encoding_method"]
         )
+        # on-device graph construction: per-frame host->device payload
+        # shrinks from the ~20MB padded graph to the raw points
+        self.on_device_graph = on_device_graph
+        if on_device_graph:
+            from pointgnn_tpu.graph import device_builder as db
+
+            self.device_spec = device_spec or db.spec_from_config(config)
+            if edge_chunks is None:
+                edge_chunks = 8  # bound edge-MLP activations in HBM
+        if compute_dtype == "auto":
+            # bf16 MXU for the on-device path (box decode stays f32);
+            # the host-graph path keeps f32 for bit-parity testing
+            compute_dtype = "bfloat16" if on_device_graph else None
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
             box_encoding_len=self.enc_len,
             mode="test",
+            edge_chunks=edge_chunks,
+            compute_dtype=compute_dtype,
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]
@@ -160,6 +181,7 @@ class InferencePipeline:
     def _build_device_fn(self):
         """forward -> softmax -> all-(vertex, class) box decode, fused on
         device (run.py:252-291 semantics, minus host round trips)."""
+        import jax
         import jax.numpy as jnp
 
         model, tables, num_classes = self.model, self.tables, self.num_classes
@@ -182,7 +204,46 @@ class InferencePipeline:
             )
             return probs, decoded
 
-        return device_fn
+        if not self.on_device_graph:
+            return device_fn
+
+        from pointgnn_tpu.graph import device_builder as db
+
+        spec = self.device_spec
+        max_hyp = self.max_hypotheses
+
+        def device_fn_points(params, points_xyz, features, mask):
+            """Fused: graph build -> GNN -> softmax -> hypothesis mask ->
+            top-k -> box decode.  Only the surviving hypotheses (scores,
+            classes, boxes, coordinates — ~100KB) leave the device."""
+            graph = db.build_padded_graph(points_xyz, features, mask, spec)
+            logits, box_enc = model.apply(params, graph)
+            probs = model.postprocess(logits)
+            out_level = model.output_graph_level
+            kp_xyz = graph.vertex_xyz[out_level]
+            kp_mask = graph.vertex_mask[out_level]
+            k = probs.shape[0]
+            flat_probs = probs.reshape(-1)
+            cls_ids = jnp.tile(
+                jnp.arange(num_classes, dtype=jnp.int32)[None, :], (k, 1)
+            ).reshape(-1)
+            valid = jnp.repeat(kp_mask.astype(bool), num_classes)
+            fg = (cls_ids > 0) & (cls_ids < num_classes - 1)
+            score = jnp.where(
+                valid & fg & (flat_probs > 1.0 / num_classes),
+                flat_probs,
+                -1.0,
+            )
+            topv, topi = jax.lax.top_k(score, max_hyp)
+            sel_cls = cls_ids[topi]
+            sel_xyz = kp_xyz[topi // num_classes]
+            sel_enc = box_enc.reshape(-1, model.box_encoding_len)[topi]
+            decoded = encodings.classaware_decode_jax(
+                sel_cls, sel_xyz, sel_enc, tables
+            )
+            return topv, sel_cls, decoded, sel_xyz
+
+        return device_fn_points
 
     # ------------------------------------------------------------------
     def run_frame(
@@ -197,36 +258,95 @@ class InferencePipeline:
 
         t0 = time.time()
         rng = rng or np.random.default_rng(0)
-        gen_kwargs = self.config.get(
-            "runtime_graph_gen_kwargs", self.config["graph_gen_kwargs"]
-        )
-        vcl, kil, el = builder.gen_multi_level_local_graph_v3(
-            points.xyz, **gen_kwargs, rng=rng
-        )
-        features = select_input_features(points.attr, self.input_features)
-        frame = pad.FrameData(features, vcl, kil, el)
-        graph = pad.pad_frame(frame, self.capacity)
-        t1 = time.time()
-        self.time_dict["gen graph"] = (
-            self.time_dict.get("gen graph", 0) + t1 - t0
-        )
+        if self.on_device_graph:
+            from pointgnn_tpu.graph import device_builder as db
 
-        probs, decoded = self._device_fn(self.params, graph)
-        probs, decoded = jax.device_get((probs, decoded))
+            features = select_input_features(
+                points.attr, self.input_features
+            )
+            p_xyz, p_feat, p_mask = db.pad_points(
+                points.xyz, features, self.device_spec.num_points
+            )
+            t1 = time.time()
+            self.time_dict["gen graph"] = (
+                self.time_dict.get("gen graph", 0) + t1 - t0
+            )
+            scores, sel_cls, sel_boxes, sel_xyz = jax.device_get(
+                self._device_fn(self.params, p_xyz, p_feat, p_mask)
+            )
+            t2 = time.time()
+            self.time_dict["gnn inference"] = (
+                self.time_dict.get("gnn inference", 0) + t2 - t1
+            )
+            keep = scores > 0
+            sel_labels = sel_cls[keep].astype(np.int64)
+            sel_probs = scores[keep].astype(np.float64)
+            sel_boxes = sel_boxes[keep]
+            aux = {
+                "hyp_xyz": sel_xyz[keep],
+                "probs_ori": sel_probs,
+            }
+            t3 = time.time()
+            self.time_dict["decode box"] = (
+                self.time_dict.get("decode box", 0) + t3 - t2
+            )
+            if sel_labels.size == 0:
+                return (
+                    np.zeros(0, np.int64), np.zeros((0, 7)), np.zeros(0),
+                    aux,
+                )
+            for v in range(2, self.num_classes - 1, 2):
+                sel_labels[sel_labels == v] = v - 1
+            nms_fn = nms_lib.get_nms_fn(
+                self.use_box_merge, self.use_box_score
+            )
+            class_labels, boxes_3d, out_scores, _ = nms_fn(
+                sel_labels,
+                sel_boxes.astype(np.float64),
+                sel_probs,
+                overlapped_fn=iou_lib.overlapped_boxes_3d,
+                overlapped_thres=self.config["nms_overlapped_thres"],
+                appr_factor=100.0,
+                top_k=-1,
+            )
+            t4 = time.time()
+            self.time_dict["nms"] = self.time_dict.get("nms", 0) + t4 - t3
+            self.frames_done += 1
+            return class_labels, boxes_3d, out_scores, aux
+        else:
+            gen_kwargs = self.config.get(
+                "runtime_graph_gen_kwargs", self.config["graph_gen_kwargs"]
+            )
+            vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+                points.xyz, **gen_kwargs, rng=rng
+            )
+            features = select_input_features(
+                points.attr, self.input_features
+            )
+            frame = pad.FrameData(features, vcl, kil, el)
+            graph = pad.pad_frame(frame, self.capacity)
+            t1 = time.time()
+            self.time_dict["gen graph"] = (
+                self.time_dict.get("gen graph", 0) + t1 - t0
+            )
+            probs, decoded = jax.device_get(
+                self._device_fn(self.params, graph)
+            )
+            out_level = self.model.output_graph_level
+            out_xyz = graph.vertex_xyz[out_level]
+            vertex_valid = graph.vertex_mask[out_level].astype(bool)
         t2 = time.time()
         self.time_dict["gnn inference"] = (
             self.time_dict.get("gnn inference", 0) + t2 - t1
         )
 
         # host-side hypothesis masking (run.py:264-291)
-        out_level = self.model.output_graph_level
         k = probs.shape[0]
-        vertex_valid = graph.vertex_mask[out_level].astype(bool)
         box_labels = np.tile(
             np.arange(self.num_classes)[None, :], (k, 1)
         ).reshape(-1)
         box_probs = probs.reshape(-1)
-        hyp_xyz = np.repeat(graph.vertex_xyz[out_level], self.num_classes, 0)
+        hyp_xyz = np.repeat(out_xyz, self.num_classes, 0)
         hyp_valid = np.repeat(vertex_valid, self.num_classes)
         box_mask = (
             hyp_valid

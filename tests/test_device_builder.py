@@ -1,0 +1,137 @@
+"""On-device graph builder: voxel select + radius edges vs brute force."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.graph import device_builder as db
+
+
+def _cloud(n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = np.column_stack(
+        [
+            rng.uniform(-20, 20, n),
+            rng.uniform(-2, 2, n),
+            rng.uniform(0, 40, n),
+        ]
+    ).astype(np.float32)
+    return xyz
+
+
+def test_voxel_select_one_per_voxel():
+    xyz = _cloud()
+    mask = np.ones(len(xyz), bool)
+    mask[700:] = False
+    idx, kp_mask = jax.jit(
+        lambda x, m: db.voxel_select(x, m, 0.8, 1024)
+    )(xyz, mask)
+    idx, kp_mask = np.asarray(idx), np.asarray(kp_mask)
+    sel = idx[kp_mask]
+    # representatives are valid points
+    assert (sel < 700).all()
+    # exactly one representative per occupied voxel (same quantization)
+    origin = xyz[:700].min(axis=0)
+    cells = np.floor((xyz[sel] - origin) / 0.8).astype(int)
+    cell_ids = set(map(tuple, cells))
+    assert len(cell_ids) == len(sel)
+    all_cells = np.floor((xyz[:700] - origin) / 0.8).astype(int)
+    assert len(set(map(tuple, all_cells))) == len(sel)
+
+
+def test_radius_edges_match_bruteforce():
+    xyz = _cloud(600, seed=1)
+    src_mask = np.ones(600, bool)
+    src_mask[550:] = False
+    ctr = xyz[:100] + 0.05
+    ctr_mask = np.ones(100, bool)
+    ctr_mask[90:] = False
+    level = db.LevelSpec(radius=2.0, cell_cap=64, per_center_cap=128)
+    e_src, e_dst = jax.jit(
+        lambda a, b, c, d: db.radius_edges(a, b, c, d, level)
+    )(xyz, src_mask, ctr, ctr_mask)
+    e_src, e_dst = np.asarray(e_src), np.asarray(e_dst)
+    real = e_dst < 100
+    # every returned edge satisfies the radius and validity constraints
+    d = np.linalg.norm(xyz[e_src[real]] - ctr[e_dst[real]], axis=1)
+    assert (d <= 2.0 + 1e-5).all()
+    assert (e_src[real] < 550).all()
+    assert (e_dst[real] < 90).all()
+    # against brute force: all neighbors found (caps are generous here)
+    for c in range(90):
+        bf = np.flatnonzero(
+            (np.linalg.norm(xyz[:550] - ctr[c], axis=1) <= 2.0)
+        )
+        got = np.sort(e_src[real][e_dst[real] == c])
+        np.testing.assert_array_equal(got, np.sort(bf))
+    # edges are grouped by center (dst non-decreasing over real slots
+    # within each center block by construction)
+    assert (np.diff(e_dst[real]) >= 0).all()
+
+
+def test_radius_edges_cap():
+    xyz = np.zeros((64, 3), np.float32)  # all at origin
+    mask = np.ones(64, bool)
+    ctr = np.zeros((4, 3), np.float32)
+    ctr_mask = np.ones(4, bool)
+    level = db.LevelSpec(radius=1.0, cell_cap=64, per_center_cap=16)
+    e_src, e_dst = db.radius_edges(xyz, mask, ctr, ctr_mask, level)
+    e_dst = np.asarray(e_dst)
+    for c in range(4):
+        assert (e_dst == c).sum() == 16  # capped
+
+
+def test_build_padded_graph_runs_model():
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=1024,
+        cell_caps=(16, 64), per_center_caps=(16, 64),
+    )
+    xyz = _cloud(1500, seed=2)
+    attr = np.random.default_rng(0).uniform(0, 1, (1500, 1)).astype(np.float32)
+    p_xyz, p_attr, p_mask = db.pad_points(xyz, attr, spec.num_points)
+
+    from pointgnn_tpu.model.pointgnn import PointGNN
+
+    model = PointGNN(
+        num_classes=4, box_encoding_len=7,
+        layer_configs=cfg["model_kwargs"]["layer_configs"], mode="test",
+    )
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+
+    @jax.jit
+    def fwd(params, xyz, attr, mask):
+        graph = db.build_padded_graph(xyz, attr, mask, spec)
+        logits, boxes = model.apply(params, graph)
+        return logits, boxes, graph
+
+    logits, boxes, graph = fwd(params, p_xyz, p_attr, p_mask)
+    assert logits.shape == (1024, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+    # keypoint level is populated
+    assert np.asarray(graph.vertex_mask[1]).sum() > 100
+    # level-1 has self-edges (center within its own radius)
+    e1_dst = np.asarray(graph.edges_dst[1])
+    assert (e1_dst < 1024).sum() > 0
+
+
+def test_device_vs_host_builder_equivalent_geometry():
+    """The device path must find the same neighbor sets as the host
+    path for matching voxelization (deterministic comparison on the
+    level-1 graph whose vertex set we fix)."""
+    from pointgnn_tpu.graph import radius as host_radius
+
+    xyz = _cloud(400, seed=3)
+    mask = np.ones(400, bool)
+    level = db.LevelSpec(radius=4.0, cell_cap=256, per_center_cap=256)
+    e_src, e_dst = db.radius_edges(xyz, mask, xyz, mask, level)
+    e_src, e_dst = np.asarray(e_src), np.asarray(e_dst)
+    real = e_dst < 400
+    host_edges = host_radius.radius_neighbors(
+        xyz, xyz, 4.0, num_neighbors=-1
+    )
+    device_set = set(zip(e_src[real].tolist(), e_dst[real].tolist()))
+    host_set = set(map(tuple, host_edges.tolist()))
+    assert device_set == host_set
