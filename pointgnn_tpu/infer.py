@@ -451,9 +451,12 @@ class InferencePipeline:
         num_frames: int = -1,
         is_test: bool = False,
         verbose: bool = True,
+        visualization_level: int = 0,
     ) -> Dict[str, float]:
         """Full loop over a KittiDataset; writes ``<output_dir>/data/*.txt``
-        (run.py:203-540).  Returns per-frame average stage times."""
+        (run.py:203-540).  Returns per-frame average stage times.
+        ``visualization_level >= 1`` additionally writes detection
+        overlays and BEV plots to ``<output_dir>/vis``."""
         n = dataset.num_files if num_frames < 0 else num_frames
         rng = np.random.default_rng(0)
         for frame_idx in range(n):
@@ -478,6 +481,29 @@ class InferencePipeline:
                 for pred in pred_labels:
                     f.write(" ".join(str(v) for v in pred) + " \n")
                 f.write("\n")
+            if visualization_level >= 1:
+                from pointgnn_tpu.utils import vis
+
+                vis_dir = os.path.join(output_dir, "vis")
+                os.makedirs(vis_dir, exist_ok=True)
+                name = dataset.get_filename(frame_idx)
+                vis.save_detection_image(
+                    dataset.get_image(frame_idx), pred_labels, calib,
+                    os.path.join(vis_dir, name + ".png"),
+                )
+                gt_boxes = None
+                if not is_test:
+                    from pointgnn_tpu.core import boxes as box_ops
+
+                    gt_boxes = [
+                        box_ops.label_to_box(l)
+                        for l in dataset.get_label(frame_idx)
+                        if l["name"] != "DontCare"
+                    ]
+                vis.plot_bev(
+                    points.xyz, boxes, gt_boxes,
+                    path=os.path.join(vis_dir, name + "_bev.png"),
+                )
             self.time_dict["total"] = self.time_dict.get("total", 0) + (
                 time.time() - start
             )

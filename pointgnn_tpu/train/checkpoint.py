@@ -91,5 +91,16 @@ def restore_checkpoint(
             path, restore_args=restore_args, item=template
         )
     else:
-        state = _checkpointer().restore(path)
+        # no template: restore every leaf as plain numpy so checkpoints
+        # written under a different device topology load anywhere
+        import jax
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        ckptr = _checkpointer()
+        tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        state = ckptr.restore(path, restore_args=restore_args)
     return state, step

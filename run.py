@@ -23,7 +23,15 @@ def main():
     parser.add_argument("checkpoint_path", type=str, help="Path to checkpoint")
     parser.add_argument(
         "-l", "--level", type=int, default=0,
-        help="Visualization level (kept for CLI parity; ignored headless)",
+        help="Visualization level: 0 off, >=1 writes detection overlays "
+        "and BEV plots to OUTPUT_DIR/vis (headless PNGs instead of the "
+        "reference's Open3D windows)",
+    )
+    parser.add_argument(
+        "--fast", dest="fast", action="store_true", default=False,
+        help="Build graphs on the TPU (on-device grid radius search + "
+        "bf16 MXU). Neighbor lists are capped per center instead of the "
+        "reference's unlimited runtime neighbors.",
     )
     parser.add_argument(
         "--test", dest="test", action="store_true", default=False,
@@ -96,12 +104,14 @@ def main():
         checkpoint_dir=args.checkpoint_path,
         use_box_merge=args.use_box_merge,
         use_box_score=args.use_box_score,
+        on_device_graph=args.fast,
     )
     print("Restored step %d from %s" % (
         pipeline.restored_step, args.checkpoint_path
     ))
     averages = pipeline.run_dataset(
-        dataset, output_dir, num_frames=args.num_frames, is_test=args.test
+        dataset, output_dir, num_frames=args.num_frames, is_test=args.test,
+        visualization_level=args.level,
     )
     print("Detections written to %s/data" % output_dir)
     return averages

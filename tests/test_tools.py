@@ -1,0 +1,142 @@
+"""Tools + visualization: beam downsampler, crop-library CLI, headless
+renders, and the run.py CLI with visualization enabled."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tools_kitti"))
+    subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "make_synthetic_kitti.py"),
+         root, "2"],
+        check=True,
+    )
+    return root
+
+
+def test_beam_mask_drops_beams():
+    sys.path.insert(0, TOOLS)
+    from point_cloud_downsample import beam_mask
+
+    rng = np.random.default_rng(0)
+    n = 6000
+    # synthesize 64 beams: elevation angles in distinct bands
+    beams = rng.integers(0, 64, n)
+    elev = -0.3 + beams * 0.01 + rng.normal(0, 5e-4, n)
+    dist = rng.uniform(5, 60, n)
+    xyz = np.column_stack(
+        [
+            dist * np.cos(elev),
+            np.zeros(n),
+            dist * np.sin(elev),
+        ]
+    )
+    mask = beam_mask(xyz, downsample_rate=2)
+    # roughly half the points survive
+    assert 0.3 < mask.mean() < 0.7
+
+
+def test_point_cloud_downsample_cli(kitti_root, tmp_path):
+    out = str(tmp_path / "ds")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "point_cloud_downsample.py"),
+            kitti_root, "--split", "3DOP_splits/val.txt", "--rate", "2",
+            "--output_dir", out,
+        ],
+        check=True,
+    )
+    data = np.fromfile(os.path.join(out, "000000.bin"), np.float32)
+    assert data.size % 4 == 0 and data.size > 0
+
+
+def test_build_crop_library_cli(kitti_root, tmp_path):
+    out = str(tmp_path / "crops.json")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "build_crop_library.py"),
+            kitti_root, out, "--split", "3DOP_splits/train.txt",
+            "--min_points", "5",
+        ],
+        check=True,
+    )
+    from pointgnn_tpu.data.crop_aug import load_cropped_boxes
+
+    labels, points = load_cropped_boxes(out)
+    assert "Car" in labels and len(labels["Car"]) > 0
+
+
+def test_vis_draw(kitti_root, tmp_path):
+    from pointgnn_tpu.data.kitti import KittiDataset
+    from pointgnn_tpu.utils import vis
+
+    ds = KittiDataset(
+        os.path.join(kitti_root, "image/training/image_2"),
+        os.path.join(kitti_root, "velodyne/training/velodyne"),
+        os.path.join(kitti_root, "calib/training/calib"),
+        os.path.join(kitti_root, "labels/training/label_2"),
+        num_classes=4,
+    )
+    image = ds.get_image(0)
+    labels = ds.get_label(0)
+    calib = ds.get_calib(0)
+    out2d = vis.draw_2d_boxes(image, labels)
+    assert out2d.shape == image.shape and not (out2d == image).all()
+    boxes = np.array([[3.0, 1.65, 20.0, 4.0, 1.6, 1.8, 0.05]])
+    out3d = vis.draw_3d_boxes(image, boxes, calib, scores=[0.9])
+    assert not (out3d == image).all()
+    bev_path = vis.plot_bev(
+        ds.get_cam_points_in_image(0).xyz, boxes, boxes,
+        path=str(tmp_path / "bev.png"),
+    )
+    assert os.path.getsize(bev_path) > 0
+    pred = [("Car", -1, -1, 0, 100.0, 100.0, 200.0, 180.0,
+             1.6, 1.8, 4.0, 3.0, 1.65, 20.0, 0.05, 0.9)]
+    img_path = vis.save_detection_image(
+        image, pred, calib, str(tmp_path / "det.png")
+    )
+    assert os.path.getsize(img_path) > 0
+
+
+def test_run_cli_with_vis(kitti_root, tmp_path):
+    # checkpoint with random weights (T0: fastest to compile on CPU)
+    import jax
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.model.pointgnn import PointGNN
+    from pointgnn_tpu.train import checkpoint as ckpt
+
+    cfg = configs.model_config("Car", T=0)
+    model = PointGNN(
+        num_classes=4, box_encoding_len=7,
+        layer_configs=cfg["model_kwargs"]["layer_configs"], mode="test",
+    )
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+    ck = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(ck, 0, {"params": params}, config=cfg)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "run.py"),
+            ck, "--dataset_root_dir", kitti_root, "--num_frames", "1",
+            "-l", "1",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.isfile(os.path.join(ck, "eval/data/000000.txt"))
+    vis_dir = os.path.join(ck, "eval/vis")
+    assert os.path.isfile(os.path.join(vis_dir, "000000.png"))
+    assert os.path.isfile(os.path.join(vis_dir, "000000_bev.png"))
