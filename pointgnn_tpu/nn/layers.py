@@ -191,19 +191,27 @@ class GraphNetAutoCenter:
             # features in the compute dtype (bf16 halves the dominant
             # HBM traffic).  Mathematically identical to the reference
             # edge MLP (gnn.py:353-365) for the shipped NONE-norm configs.
+            # The relative-coordinate term also enters linearly, so it
+            # folds into two per-vertex tables:
+            #   hidden = act(concat(feat, s_xyz - d_xyz) @ W0 + b0)
+            #          = act(A[src] - B[dst])
+            #   A = feat @ W0a + s_xyz @ W0b + b0,  B = shifted_xyz @ W0b
+            # leaving ONE gather per edge and no per-edge small matmuls.
             ep = params["edge_mlp"]
             w0, b0 = ep[0]["w"], ep[0]["b"]
             c = vertex_features.shape[1]
             cd = compute_dtype or vertex_features.dtype
-            proj = (vertex_features @ w0[:c] + b0).astype(cd)
-            w0b = w0[c:].astype(cd)
+            w0b = w0[c:]
+            table_a = (
+                vertex_features @ w0[:c] + vertex_xyz.astype(w0.dtype) @ w0b
+                + b0
+            ).astype(cd)
+            table_b = (shifted_xyz.astype(w0.dtype) @ w0b).astype(cd)
             act = mlp.ACTIVATIONS[edge_MLP_activation_type]
 
             def edge_fn(src, dst_raw):
-                s_xyz = vertex_xyz[src]
-                d_xyz = shifted_xyz[jnp.minimum(dst_raw, n - 1)]
-                rel = (s_xyz - d_xyz).astype(cd)
-                h = proj[src] + rel @ w0b
+                dst = jnp.minimum(dst_raw, n - 1)
+                h = table_a[src] - table_b[dst]
                 if act is not None:
                     h = act(h)
                 for layer in ep[1:]:

@@ -129,6 +129,11 @@ class Trainer:
         )
         self.train_dir = train_config["train_dir"]
         self._rng = np.random.default_rng(seed)
+        # absorb the tunneled backend's one-time D2H channel setup here
+        # instead of inside the first step's metrics fetch
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros(8, jnp.float32))
 
     # ------------------------------------------------------------------
     @property

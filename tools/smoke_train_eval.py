@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""End-to-end acceptance smoke: overfit -> detect -> official AP.
+
+Generates a synthetic KITTI tree, trains a small Point-GNN on its
+frames until the loss collapses, runs the inference pipeline over the
+same frames, and scores the detections with the native KITTI AP
+evaluator.  A healthy stack overfits 4 frames to near-perfect
+moderate-difficulty 3D AP — this exercises every layer: dataset, label
+assignment, encodings, graph gen, model, loss, DP step, checkpointing,
+inference decode, NMS, KITTI output, and the C++ evaluator.
+
+Usage: python tools/smoke_train_eval.py [workdir] [--steps 300] [--T 1]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("workdir", nargs="?", default="")
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--T", type=int, default=1)
+    parser.add_argument("--frames", type=int, default=4)
+    parser.add_argument("--fast", action="store_true", default=False)
+    parser.add_argument("--min_ap", type=float, default=-1.0,
+                        help="exit nonzero if Car_3d_moderate AP is below")
+    args = parser.parse_args()
+
+    from make_synthetic_kitti import main as make_kitti
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.data.kitti import KittiDataset
+    from pointgnn_tpu.graph.pad import GraphCapacity
+    from pointgnn_tpu.infer import InferencePipeline
+    from pointgnn_tpu.postprocess import kitti_eval
+    from pointgnn_tpu.train.pipeline import DatasetSpec, FetchSpec
+    from pointgnn_tpu.train.trainer import Trainer
+
+    work = args.workdir or tempfile.mkdtemp(prefix="pointgnn_smoke_")
+    kitti_root = os.path.join(work, "kitti")
+    train_dir = os.path.join(work, "train_dir")
+    if not os.path.isdir(kitti_root):
+        make_kitti(kitti_root, args.frames)
+
+    config = configs.model_config("Car", T=args.T)
+    # focal loss converges on the tiny overfit task in O(100) steps
+    # (plain softmax at the reference's 0.1 weight needs many thousands)
+    config["loss"] = {
+        "cls_loss_type": "focal_sigmoid",
+        "cls_loss_weight": 1.0,
+        "loc_loss_weight": 10.0,
+    }
+    train_config = configs.train_config("Car")
+    batch = 2
+    steps_per_epoch = args.frames // batch
+    train_config.update(
+        {
+            "train_dir": train_dir,
+            "batch_size": batch,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 2,
+            "load_dataset_every_N_time": 100000,  # cache: pure overfit
+            "max_epoch": max(args.steps // steps_per_epoch, 1),
+            "max_steps": args.steps,
+            "save_every_epoch": 200,
+            "optimizer": "adam",
+            "initial_lr": 1e-3,
+            "decay_step": args.steps,
+            # disable augmentation for a clean overfit signal
+            "data_aug_configs": [],
+        }
+    )
+    cap = GraphCapacity(vertices=(32768, 8192, 8192), edges=(131072, 524288))
+    spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=4)
+    trainer = Trainer(
+        config,
+        train_config,
+        FetchSpec(spec, config, train_config),
+        num_frames=args.frames,
+        capacity=cap,
+    )
+    trainer.restore()
+    print("training %d steps..." % args.steps)
+    trainer.train()
+    trainer.close()
+
+    pipeline = InferencePipeline(
+        config,
+        checkpoint_dir=train_dir,
+        capacity=cap,
+        on_device_graph=args.fast,
+    )
+    dataset = KittiDataset(
+        os.path.join(kitti_root, "image/training/image_2"),
+        os.path.join(kitti_root, "velodyne/training/velodyne"),
+        os.path.join(kitti_root, "calib/training/calib"),
+        os.path.join(kitti_root, "labels/training/label_2"),
+        num_classes=4,
+    )
+    result_dir = os.path.join(work, "results")
+    pipeline.run_dataset(dataset, result_dir)
+
+    gt_dir = os.path.join(kitti_root, "labels/training/label_2")
+    results = kitti_eval.evaluate(gt_dir, result_dir)
+    for key in sorted(results):
+        print("%s: AP %.2f  AP_R40 %.2f" % (
+            key, results[key]["ap"], results[key]["ap_r40"]
+        ))
+    ap = results.get("Car_3d_moderate", {}).get("ap", 0.0)
+    print("Car_3d_moderate AP = %.2f  (workdir %s)" % (ap, work))
+    if args.min_ap >= 0 and ap < args.min_ap:
+        print("FAIL: below --min_ap %.2f" % args.min_ap)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
