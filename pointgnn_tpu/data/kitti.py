@@ -209,6 +209,57 @@ class KittiDataset:
         ).all(), "calibration chain mismatch"
         return calib
 
+    @staticmethod
+    def get_raw_calib(
+        calib_velo_to_cam_path: str, calib_cam_to_cam_path: str
+    ) -> Dict[str, np.ndarray]:
+        """Calibration for the raw KITTI recordings
+        (kitti_dataset.py:524-575): parse the two raw calib files and
+        derive ``velo_to_cam`` / ``cam_to_image`` / ``velo_to_image``
+        for rectified camera 2."""
+        calib: Dict[str, np.ndarray] = {}
+        with open(calib_cam_to_cam_path) as f:
+            entries = {}
+            for line in f:
+                if ":" not in line:
+                    continue
+                key, value = line.rstrip("\n").split(":", 1)
+                entries[key] = value
+        shapes = {
+            "S": (1, 2), "K": (3, 3), "D": (1, 5), "R": (3, 3),
+            "T": (3, 1), "S_rect": (1, 2), "R_rect": (3, 3),
+            "P_rect": (3, 4),
+        }
+        for i in range(4):
+            for prefix, shape in shapes.items():
+                key = "%s_0%d" % (prefix, i)
+                calib[key] = np.array(
+                    entries[key].split(), dtype=np.float32
+                ).reshape(shape)
+        with open(calib_velo_to_cam_path) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                key, value = line.rstrip("\n").split(":", 1)
+                if key in ("R", "T"):
+                    calib[key] = np.array(
+                        value.split(), dtype=np.float32
+                    ).reshape((3, 3) if key == "R" else (3, 1))
+        calib["Tr_velo_to_cam"] = np.vstack(
+            [np.hstack([calib["R"], calib["T"]]), [0, 0, 0, 1]]
+        )
+        R0 = np.eye(4, dtype=np.float32)
+        R0[:3, :3] = calib["R_rect_00"]
+        T2 = np.eye(4, dtype=np.float32)
+        T2[0, 3] = calib["P_rect_02"][0, 3] / calib["P_rect_02"][0, 0]
+        calib["velo_to_cam"] = T2 @ R0 @ calib["Tr_velo_to_cam"]
+        calib["cam_to_velo"] = np.linalg.inv(calib["velo_to_cam"])
+        calib["cam_to_image"] = np.hstack(
+            [calib["P_rect_02"][:, 0:3], np.zeros((3, 1), np.float32)]
+        )
+        calib["velo_to_image"] = calib["cam_to_image"] @ calib["velo_to_cam"]
+        return calib
+
     def get_label(self, frame_idx: int, no_orientation: bool = False) -> List[Dict]:
         """Labels with optional difficulty filter (kitti_dataset.py:703-751)."""
         path = os.path.join(self._label_dir, self._file_list[frame_idx]) + ".txt"

@@ -177,3 +177,52 @@ def test_statistics(dataset):
     stats = dataset.get_statistics()
     assert "Car" in stats
     assert stats["Car"]["length"] > 0
+
+
+RAW_VELO_CALIB = """\
+calib_time: 15-Mar-2012 11:37:16
+R: 7.533745e-03 -9.999714e-01 -6.166020e-04 1.480249e-02 7.280733e-04 -9.998902e-01 9.998621e-01 7.523790e-03 1.480755e-02
+T: -4.069766e-03 -7.631618e-02 -2.717806e-01
+delta_f: 0.000000e+00 0.000000e+00
+delta_c: 0.000000e+00 0.000000e+00
+"""
+
+
+def _raw_cam_calib():
+    lines = ["calib_time: 09-Jan-2012 13:57:47", "corner_dist: 9.950000e-02"]
+    for i in range(4):
+        lines += [
+            "S_0%d: 1.392000e+03 5.120000e+02" % i,
+            "K_0%d: 9.842439e+02 0.000000e+00 6.900000e+02 0.000000e+00 "
+            "9.808141e+02 2.331966e+02 0.000000e+00 0.000000e+00 1.000000e+00"
+            % i,
+            "D_0%d: -3.728755e-01 2.037299e-01 2.219027e-03 1.383707e-03 "
+            "-7.233722e-02" % i,
+            "R_0%d: 1.000000e+00 0.000000e+00 0.000000e+00 0.000000e+00 "
+            "1.000000e+00 0.000000e+00 0.000000e+00 0.000000e+00 1.000000e+00"
+            % i,
+            "T_0%d: 0.000000e+00 0.000000e+00 0.000000e+00" % i,
+            "S_rect_0%d: 1.242000e+03 3.750000e+02" % i,
+            "R_rect_0%d: 1.000000e+00 0.000000e+00 0.000000e+00 0.000000e+00 "
+            "1.000000e+00 0.000000e+00 0.000000e+00 0.000000e+00 1.000000e+00"
+            % i,
+            "P_rect_0%d: 7.215377e+02 0.000000e+00 6.095593e+02 "
+            "%.6e 0.000000e+00 7.215377e+02 1.728540e+02 0.000000e+00 "
+            "0.000000e+00 0.000000e+00 1.000000e+00 0.000000e+00"
+            % (i, -339.5 * i),
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def test_raw_calib(tmp_path):
+    velo_path = tmp_path / "calib_velo_to_cam.txt"
+    cam_path = tmp_path / "calib_cam_to_cam.txt"
+    velo_path.write_text(RAW_VELO_CALIB)
+    cam_path.write_text(_raw_cam_calib())
+    calib = KittiDataset.get_raw_calib(str(velo_path), str(cam_path))
+    assert calib["velo_to_cam"].shape == (4, 4)
+    assert calib["velo_to_image"].shape == (3, 4)
+    # velodyne forward (x) should land in front of the camera (z > 0)
+    xyz1 = np.array([10.0, 0.0, 0.0, 1.0])
+    cam = calib["velo_to_cam"] @ xyz1
+    assert cam[2] > 9.0

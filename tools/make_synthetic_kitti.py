@@ -44,13 +44,33 @@ def make_frame(rng, n_ground=12000, cars=()):
     return np.concatenate(clusters, axis=0)
 
 
-def car_label_line(x_velo, y_velo):
-    """A car label in camera coords for a cluster at velo (x, y)."""
+def car_label_line(x_velo, y_velo, yaw=0.05):
+    """A car label in camera coords for a cluster at velo (x, y), with
+    the 2D bbox computed by projecting the 3D box through P2."""
     # velo (x fwd, y left, z up) ~ cam (z fwd, x right, y down)
     x3d, y3d, z3d = -y_velo, 1.65, x_velo
+    l, h, w = 4.0, 1.60, 1.80
+    # project the 8 corners with the P2 intrinsics (R0/Tr are near
+    # identity in camera coords, so P2 alone is accurate enough here)
+    c, s = np.cos(yaw), np.sin(yaw)
+    corners = []
+    for dx in (-l / 2, l / 2):
+        for dy in (0.0, -h):
+            for dz in (-w / 2, w / 2):
+                cx = x3d + c * dx + s * dz
+                cy = y3d + dy
+                cz = z3d - s * dx + c * dz
+                u = (7.070493e2 * cx + 6.040814e2 * cz + 4.575831e1) / cz
+                v = (7.070493e2 * cy + 1.805066e2 * cz - 0.3454157) / cz
+                corners.append((u, v))
+    us = [p[0] for p in corners]
+    vs = [p[1] for p in corners]
+    xmin, xmax = max(min(us), 0.0), min(max(us), 1242.0)
+    ymin, ymax = max(min(vs), 0.0), min(max(vs), 375.0)
     return (
-        "Car 0.00 0 1.85 300.00 150.00 500.00 250.00 "
-        "1.60 1.80 4.00 %.2f %.2f %.2f 0.05" % (x3d, y3d, z3d)
+        "Car 0.00 0 1.85 %.2f %.2f %.2f %.2f "
+        "%.2f %.2f %.2f %.2f %.2f %.2f %.2f"
+        % (xmin, ymin, xmax, ymax, h, w, l, x3d, y3d, z3d, yaw)
     )
 
 
@@ -69,7 +89,12 @@ def main(out_dir, num_frames=4):
     for i in range(num_frames):
         name = "%06d" % i
         names.append(name)
-        cars = [(20.0 + 5 * i, -3.0), (35.0, 4.0)]
+        # three well-separated cars at varying ranges/lateral offsets
+        cars = [
+            (18.0 + 4 * (i % 5), -3.0 - (i % 3)),
+            (32.0 + 3 * (i % 4), 4.0 + (i % 2)),
+            (45.0 - 2 * (i % 3), -8.0 + 2 * (i % 4)),
+        ]
         make_frame(rng, cars=cars).tofile(
             os.path.join(dirs["velo"], name + ".bin")
         )

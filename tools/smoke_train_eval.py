@@ -27,9 +27,9 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("workdir", nargs="?", default="")
-    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--steps", type=int, default=800)
     parser.add_argument("--T", type=int, default=1)
-    parser.add_argument("--frames", type=int, default=4)
+    parser.add_argument("--frames", type=int, default=14)
     parser.add_argument("--fast", action="store_true", default=False)
     parser.add_argument("--min_ap", type=float, default=-1.0,
                         help="exit nonzero if Car_3d_moderate AP is below")
@@ -71,7 +71,7 @@ def main():
             "load_dataset_every_N_time": 100000,  # cache: pure overfit
             "max_epoch": max(args.steps // steps_per_epoch, 1),
             "max_steps": args.steps,
-            "save_every_epoch": 200,
+            "save_every_epoch": 15,
             "optimizer": "adam",
             "initial_lr": 1e-3,
             "decay_step": args.steps,
@@ -79,7 +79,9 @@ def main():
             "data_aug_configs": [],
         }
     )
-    cap = GraphCapacity(vertices=(32768, 8192, 8192), edges=(131072, 524288))
+    cap = GraphCapacity(
+        vertices=(32768, 12288, 12288), edges=(131072, 524288)
+    )
     spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=4)
     trainer = Trainer(
         config,
