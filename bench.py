@@ -15,6 +15,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,6 +24,7 @@ BASELINE_MS = 643.0
 
 
 def main():
+    profile_dir = os.environ.get("POINTGNN_PROFILE_DIR", "")
     from pointgnn_tpu import configs
     from pointgnn_tpu.infer import InferencePipeline
     from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
@@ -57,11 +59,21 @@ def main():
     pipe.time_dict.clear()
     pipe.frames_done = 0
 
+    import contextlib
+
+    import jax as _jax
+
+    trace_cm = (
+        _jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
     times = []
-    for i in range(16):
-        before = measured_ms()
-        pipe.run_frame(frames[i % len(frames)], rng)
-        times.append(measured_ms() - before)
+    with trace_cm:
+        for i in range(16):
+            before = measured_ms()
+            pipe.run_frame(frames[i % len(frames)], rng)
+            times.append(measured_ms() - before)
     ms = float(np.median(times))
 
     # streaming throughput: issue frame i+1's device program before

@@ -136,7 +136,17 @@ def test_run_cli_with_vis(kitti_root, tmp_path):
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert os.path.isfile(os.path.join(ck, "eval/data/000000.txt"))
+    det_file = os.path.join(ck, "eval/data/000000.txt")
+    assert os.path.isfile(det_file)
+    # golden format: every line round-trips through the KITTI parser
+    from pointgnn_tpu.data.kitti import parse_label_line
+
+    with open(det_file) as f:
+        for line in f:
+            label = parse_label_line(line)
+            if label is not None:
+                assert label["name"] in ("Car", "Pedestrian", "Cyclist")
+                assert "score" in label
     vis_dir = os.path.join(ck, "eval/vis")
     assert os.path.isfile(os.path.join(vis_dir, "000000.png"))
     assert os.path.isfile(os.path.join(vis_dir, "000000_bev.png"))
