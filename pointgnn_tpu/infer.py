@@ -133,12 +133,18 @@ class InferencePipeline:
             # bf16 MXU for the on-device path (box decode stays f32);
             # the host-graph path keeps f32 for bit-parity testing
             compute_dtype = "bfloat16" if on_device_graph else None
+        # note: blocked-max aggregation (scatter-free reshape+reduce over
+        # the [K, S] layout) measured SLOWER than the sorted segment-max
+        # on v5e (XLA lowers the mid-axis reduction poorly), so the
+        # segment path stays the default even for device-built graphs
+        blocked = None
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
             box_encoding_len=self.enc_len,
             mode="test",
             edge_chunks=edge_chunks,
             compute_dtype=compute_dtype,
+            blocked_edges=blocked,
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]

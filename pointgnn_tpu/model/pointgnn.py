@@ -47,6 +47,7 @@ class PointGNN:
         compute_dtype=None,
         remat: Optional[bool] = None,
         edge_chunks: Optional[int] = None,
+        blocked_edges=None,
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -66,6 +67,9 @@ class PointGNN:
         if edge_chunks is None:
             edge_chunks = 16 if mode == "train" else 1
         self.edge_chunks = edge_chunks
+        # per-graph-level blocked edge layout ([K, S] per center, from
+        # the on-device builder): enables scatter-free blocked max
+        self.blocked_edges = blocked_edges
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -134,6 +138,8 @@ class PointGNN:
             kw = dict(cfg["kwargs"])
             kw["compute_dtype"] = self.compute_dtype
             kw["edge_chunks"] = self.edge_chunks
+            if self.blocked_edges is not None:
+                kw["blocked_edges"] = self.blocked_edges[g]
             layer = self._layers[i]
             p = params[cfg["scope"]]
             if isinstance(layer, PointSetPooling):

@@ -75,6 +75,7 @@ class PointSetPooling:
         output_MLP_activation_type="ReLU",
         compute_dtype=None,
         edge_chunks=1,
+        blocked_edges=None,
     ):
         num_centers = center_xyz.shape[0]
 
@@ -91,13 +92,28 @@ class PointSetPooling:
                 compute_dtype=compute_dtype,
             )
 
-        agg = chunked_aggregate(
-            edge_fn, edges_src, edges_dst, num_centers,
-            out_dim=point_MLP_depth_list[-1],
-            aggregation=self._agg_name,
-            num_chunks=edge_chunks,
-            dtype=point_features.dtype,
-        )
+        if blocked_edges and self._agg_name == "max":
+            s = blocked_edges
+            h = edge_fn(edges_src, edges_dst)
+            slot_valid = (
+                edges_dst.reshape(num_centers, s) < num_centers
+            )[:, :, None]
+            hh = jnp.where(
+                slot_valid,
+                h.reshape(num_centers, s, -1),
+                jnp.asarray(-jnp.inf, h.dtype),
+            )
+            agg = jnp.max(hh, axis=1)
+            agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+        else:
+            agg = chunked_aggregate(
+                edge_fn, edges_src, edges_dst, num_centers,
+                out_dim=point_MLP_depth_list[-1],
+                aggregation=self._agg_name,
+                num_chunks=edge_chunks,
+                dtype=compute_dtype or point_features.dtype,
+            )
+        agg = agg.astype(point_features.dtype)
         out = mlp.apply_mlp(
             params["output_mlp"], agg, is_logits=False,
             normalization_type=output_MLP_normalization_type,
@@ -167,6 +183,7 @@ class GraphNetAutoCenter:
         auto_offset_MLP_feature_activation_type="ReLU",
         compute_dtype=None,
         edge_chunks=1,
+        blocked_edges=None,
     ):
         n = vertex_features.shape[0]
         # auto-registration offsets shift only the destination coords
@@ -237,13 +254,28 @@ class GraphNetAutoCenter:
                     compute_dtype=compute_dtype,
                 )
 
-        agg = chunked_aggregate(
-            edge_fn, edges_src, edges_dst, n,
-            out_dim=edge_MLP_depth_list[-1],
-            aggregation=self._agg_name,
-            num_chunks=edge_chunks,
-            dtype=vertex_features.dtype,
-        )
+        if blocked_edges and self._agg_name == "max":
+            # device-built graphs block edges as [n, S] per center: the
+            # per-center max is a reshape + reduce, no segment scatter
+            s = blocked_edges
+            h = edge_fn(edges_src, edges_dst)
+            slot_valid = (edges_dst.reshape(n, s) < n)[:, :, None]
+            hh = jnp.where(
+                slot_valid, h.reshape(n, s, -1), jnp.asarray(-jnp.inf, h.dtype)
+            )
+            agg = jnp.max(hh, axis=1)
+            agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+        else:
+            agg = chunked_aggregate(
+                edge_fn, edges_src, edges_dst, n,
+                out_dim=edge_MLP_depth_list[-1],
+                aggregation=self._agg_name,
+                num_chunks=edge_chunks,
+                # aggregate in the compute dtype: the [E, width] edge
+                # tensor dominates HBM traffic; max-reduction dtype-safe
+                dtype=compute_dtype or vertex_features.dtype,
+            )
+        agg = agg.astype(vertex_features.dtype)
         update = mlp.apply_mlp(
             params["update_mlp"], agg, is_logits=True,
             normalization_type=update_MLP_normalization_type,

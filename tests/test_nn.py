@@ -242,3 +242,41 @@ def test_chunked_aggregate_matches_unchunked():
     g = jax.grad(loss)(feats)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_blocked_max_matches_segment_path():
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import GraphNetAutoCenter
+
+    rng = np.random.default_rng(0)
+    n, s, c = 32, 8, 16
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    xyz = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    # blocked layout: S slots per center, some sentinel-padded
+    dst_blocks = np.repeat(np.arange(n), s).astype(np.int32)
+    invalid = rng.uniform(size=n * s) < 0.3
+    dst_blocks[invalid] = n
+    src = rng.integers(0, n, n * s).astype(np.int32)
+    src[invalid] = 0
+    mask = jnp.ones(n)
+    layer = GraphNetAutoCenter("max")
+    kw = dict(
+        edge_MLP_depth_list=[c, c], update_MLP_depth_list=[c, c],
+        edge_MLP_normalization_type="NONE",
+        update_MLP_normalization_type="NONE",
+        auto_offset=False,
+    )
+    params = layer.init(jax.random.PRNGKey(0), c, **kw)
+    out_seg = layer.apply(
+        params, feats, xyz, jnp.asarray(src), jnp.asarray(dst_blocks),
+        vertex_mask=mask, **kw,
+    )
+    out_blk = layer.apply(
+        params, feats, xyz, jnp.asarray(src), jnp.asarray(dst_blocks),
+        vertex_mask=mask, blocked_edges=s, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_seg), np.asarray(out_blk), rtol=1e-5, atol=1e-5
+    )
