@@ -139,6 +139,30 @@ def pad_frame(
     return batch_and_pad([frame], capacity, rng)
 
 
+def suggest_capacity(
+    frames: Sequence[FrameData],
+    headroom: float = 1.25,
+    multiple: int = 1024,
+) -> GraphCapacity:
+    """Size a capacity bucket from sample frames: max observed counts x
+    headroom, rounded up to ``multiple`` (avoids silent truncation when
+    the workload's density is unknown a priori)."""
+    num_levels = len(frames[0].edges_list)
+
+    def bucket(n):
+        return int(np.ceil(n * headroom / multiple) * multiple)
+
+    vertices = tuple(
+        bucket(max(f.vertex_coord_list[li].shape[0] for f in frames))
+        for li in range(num_levels + 1)
+    )
+    edges = tuple(
+        bucket(max(f.edges_list[li].shape[0] for f in frames))
+        for li in range(num_levels)
+    )
+    return GraphCapacity(vertices=vertices, edges=edges)
+
+
 def batch_and_pad(
     frames: Sequence[FrameData],
     capacity: GraphCapacity,

@@ -216,7 +216,16 @@ class Trainer:
                 aux = self.train_batch(
                     order[batch_idx:batch_idx + self.batch_size]
                 )
-                self.metrics.update(jax.device_get(aux))
+                host_aux = jax.device_get(aux)
+                # NaN guard (the reference asserts in-graph,
+                # models.py:305-306); device_get already synchronized
+                total = float(np.asarray(host_aux["total_loss"]))
+                if not np.isfinite(total):
+                    raise FloatingPointError(
+                        "non-finite total loss %r at step %d"
+                        % (total, self.global_step)
+                    )
+                self.metrics.update(host_aux)
                 if 0 < max_steps <= self.global_step:
                     print("save checkpoint at step %d to %s"
                           % (self.global_step, self.train_dir))

@@ -258,3 +258,34 @@ def test_vertex_overflow_truncates_consistently(rng):
     real_e = g.edges_src[0][g.edges_dst[0] < 256]
     assert (real_e < 512).all()
     assert int(g.vertex_mask[0].sum()) == 512
+
+
+def test_suggest_capacity():
+    from pointgnn_tpu.graph import pad as pad_mod
+
+    frames = []
+    for n, k, e0, e1 in ((1000, 300, 2000, 9000), (1500, 400, 2500, 12000)):
+        frames.append(
+            pad_mod.FrameData(
+                features=np.zeros((n, 1), np.float32),
+                vertex_coord_list=[
+                    np.zeros((n, 3)), np.zeros((k, 3)), np.zeros((k, 3))
+                ],
+                keypoint_indices_list=[
+                    np.zeros((k, 1), np.int64), np.zeros((k, 1), np.int64)
+                ],
+                edges_list=[
+                    np.zeros((e0, 2), np.int64), np.zeros((e1, 2), np.int64)
+                ],
+            )
+        )
+    cap = pad_mod.suggest_capacity(frames, headroom=1.25, multiple=1024)
+    assert cap.vertices[0] >= 1500 * 1.25
+    assert cap.vertices[0] % 1024 == 0
+    assert cap.edges[1] >= 12000 * 1.25
+    # the suggested capacity holds every sample frame without overflow
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        pad_mod.batch_and_pad([frames[1]], cap)
