@@ -134,6 +134,53 @@ def plot_bev(
     return fig
 
 
+def plot_graph_bev(
+    vertex_xyz: np.ndarray,
+    edges: np.ndarray,
+    center_xyz: Optional[np.ndarray] = None,
+    path: Optional[str] = None,
+    max_edges: int = 20000,
+):
+    """Bird's-eye view of a proximity graph (the headless equivalent of
+    the reference's Open3D ``vis_point_graph``,
+    kitti_dataset.py:1286-1395): vertices as dots, edges as segments
+    from source points to their (possibly distinct) center set."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.collections import LineCollection
+
+    vertex_xyz = np.asarray(vertex_xyz)
+    center_xyz = (
+        vertex_xyz if center_xyz is None else np.asarray(center_xyz)
+    )
+    edges = np.asarray(edges).reshape(-1, 2)
+    if len(edges) > max_edges:
+        edges = edges[:: len(edges) // max_edges + 1]
+    fig, ax = plt.subplots(figsize=(10, 10))
+    segs = np.stack(
+        [vertex_xyz[edges[:, 0]][:, [0, 2]],
+         center_xyz[edges[:, 1]][:, [0, 2]]],
+        axis=1,
+    )
+    ax.add_collection(
+        LineCollection(segs, colors="#1f77b4", linewidths=0.2, alpha=0.4)
+    )
+    ax.scatter(
+        vertex_xyz[:, 0], vertex_xyz[:, 2], s=0.5, c="#333333", linewidths=0
+    )
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("z (m)")
+    ax.set_aspect("equal")
+    ax.autoscale()
+    if path is not None:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
 def save_detection_image(
     image: np.ndarray,
     pred_labels: List[tuple],

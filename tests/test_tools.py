@@ -106,6 +106,21 @@ def test_vis_draw(kitti_root, tmp_path):
         image, pred, calib, str(tmp_path / "det.png")
     )
     assert os.path.getsize(img_path) > 0
+    # graph BEV viewer
+    pts = ds.get_cam_points_in_image(0)
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.graph import builder
+
+    cfg = configs.model_config("Car", T=0)
+    vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+        pts.xyz, **cfg["graph_gen_kwargs"],
+        rng=np.random.default_rng(0),
+    )
+    gpath = vis.plot_graph_bev(
+        vcl[0], el[0], center_xyz=vcl[1],
+        path=str(tmp_path / "graph.png"),
+    )
+    assert os.path.getsize(gpath) > 0
 
 
 def test_run_cli_with_vis(kitti_root, tmp_path):
