@@ -133,8 +133,9 @@ def radius_edges(
 ):
     """Fixed-radius neighbors, grouped by center with sentinel padding.
 
-    Returns ``(edges_src [K*S], edges_dst [K*S])`` where padded slots
-    have ``dst == K`` (the PaddedGraph sentinel).
+    Returns ``(edges_src [K*S], edges_dst [K*S])`` in the SRC-sentinel
+    layout: ``dst`` is always the owning center (globally sorted) and
+    padded slots carry ``src == num_sources``.
 
     TPU-tuned structure (see the module docstring): sources are
     scattered into a dense 2D (x, z) grid of ``cell_cap``-slot cell
@@ -222,10 +223,17 @@ def radius_edges(
     topv, topi = jax.lax.top_k(key, s)  # [K, s]
     slot_valid = topv > 0
     picked = jnp.take_along_axis(cand_i, topi, axis=1)
-    edges_src = jnp.where(slot_valid, picked, 0).reshape(-1)
-    edges_dst = jnp.where(
-        slot_valid, jnp.arange(k, dtype=jnp.int32)[:, None], k
-    ).reshape(-1)
+    # SRC-sentinel convention: dst is always the center (so the edge
+    # list is globally dst-sorted — segment reductions may legally use
+    # indices_are_sorted=True); invalid slots carry src == n and the
+    # consumer masks their contribution to -inf before aggregating.
+    # (A dst-sentinel here would interleave sentinels between center
+    # blocks, and falsely promising sortedness silently corrupts TPU
+    # segment ops at some shapes — see docs/PERF_NOTES.md.)
+    edges_src = jnp.where(slot_valid, picked, n).reshape(-1)
+    edges_dst = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[:, None], (k, s)
+    ).reshape(-1).astype(jnp.int32)
     return edges_src, edges_dst
 
 

@@ -134,9 +134,10 @@ class InferencePipeline:
             # the host-graph path keeps f32 for bit-parity testing
             compute_dtype = "bfloat16" if on_device_graph else None
         # note: blocked-max aggregation (scatter-free reshape+reduce over
-        # the [K, S] layout) measured SLOWER than the sorted segment-max
-        # on v5e (XLA lowers the mid-axis reduction poorly), so the
-        # segment path stays the default even for device-built graphs
+        # the [K, S] layout) measured slower than unsorted segment-max on
+        # v5e, so the segment path is the default even for device-built
+        # graphs — but those MUST run with edges_sorted=False (their
+        # sentinel slots interleave between center blocks)
         blocked = None
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
@@ -145,6 +146,7 @@ class InferencePipeline:
             edge_chunks=edge_chunks,
             compute_dtype=compute_dtype,
             blocked_edges=blocked,
+            edge_sentinel="src" if on_device_graph else "dst",
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]

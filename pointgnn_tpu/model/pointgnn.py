@@ -48,6 +48,8 @@ class PointGNN:
         remat: Optional[bool] = None,
         edge_chunks: Optional[int] = None,
         blocked_edges=None,
+        edges_sorted: bool = True,
+        edge_sentinel: str = "dst",
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -70,6 +72,12 @@ class PointGNN:
         # per-graph-level blocked edge layout ([K, S] per center, from
         # the on-device builder): enables scatter-free blocked max
         self.blocked_edges = blocked_edges
+        # device-built graphs interleave sentinel slots between center
+        # blocks — their edges are NOT dst-sorted; claiming sortedness
+        # silently corrupts TPU segment reductions at some shapes
+        self.edges_sorted = edges_sorted
+        # padding convention: "dst" (host graphs) or "src" (device)
+        self.edge_sentinel = edge_sentinel
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -140,6 +148,8 @@ class PointGNN:
             kw["edge_chunks"] = self.edge_chunks
             if self.blocked_edges is not None:
                 kw["blocked_edges"] = self.blocked_edges[g]
+            kw["edges_sorted"] = self.edges_sorted
+            kw["edge_sentinel"] = self.edge_sentinel
             layer = self._layers[i]
             p = params[cfg["scope"]]
             if isinstance(layer, PointSetPooling):

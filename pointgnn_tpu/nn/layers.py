@@ -28,6 +28,30 @@ from pointgnn_tpu.nn import mlp
 from pointgnn_tpu.nn.segment import AGGREGATIONS, chunked_aggregate
 
 
+def _apply_sentinel(edge_fn, edge_sentinel, num_src, agg_name, edges_sorted):
+    """Adapt an edge function to the graph's padding convention.
+
+    "dst": padded slots carry a one-past destination (host-padded
+    graphs) — segment reductions drop them via the extra segment.
+    "src": padded slots carry ``src == num_src`` with a VALID (always
+    sorted) destination (device-built graphs) — their contribution is
+    masked to the aggregation identity here, which legalizes
+    ``indices_are_sorted=True``.
+    """
+    if edge_sentinel == "dst":
+        return edge_fn, edges_sorted
+    assert edge_sentinel == "src", edge_sentinel
+    fill = -jnp.inf if agg_name == "max" else 0.0
+
+    def masked_fn(src, dst, _base=edge_fn):
+        h = _base(jnp.minimum(src, num_src - 1), dst)
+        return jnp.where(
+            (src >= num_src)[:, None], jnp.asarray(fill, h.dtype), h
+        )
+
+    return masked_fn, True
+
+
 class PointSetPooling:
     """Downsampling layer: raw points → keypoint set features."""
 
@@ -76,8 +100,11 @@ class PointSetPooling:
         compute_dtype=None,
         edge_chunks=1,
         blocked_edges=None,
+        edges_sorted=True,
+        edge_sentinel="dst",
     ):
         num_centers = center_xyz.shape[0]
+        num_src = point_features.shape[0]
 
         def edge_fn(src, dst_raw):
             sf = point_features[src]
@@ -92,11 +119,16 @@ class PointSetPooling:
                 compute_dtype=compute_dtype,
             )
 
+        edge_fn, edges_sorted = _apply_sentinel(
+            edge_fn, edge_sentinel, num_src, self._agg_name, edges_sorted
+        )
+
         if blocked_edges and self._agg_name == "max":
             s = blocked_edges
             h = edge_fn(edges_src, edges_dst)
             slot_valid = (
-                edges_dst.reshape(num_centers, s) < num_centers
+                (edges_dst.reshape(num_centers, s) < num_centers)
+                & (edges_src.reshape(num_centers, s) < num_src)
             )[:, :, None]
             hh = jnp.where(
                 slot_valid,
@@ -112,6 +144,7 @@ class PointSetPooling:
                 aggregation=self._agg_name,
                 num_chunks=edge_chunks,
                 dtype=compute_dtype or point_features.dtype,
+                sorted=edges_sorted,
             )
         agg = agg.astype(point_features.dtype)
         out = mlp.apply_mlp(
@@ -184,6 +217,8 @@ class GraphNetAutoCenter:
         compute_dtype=None,
         edge_chunks=1,
         blocked_edges=None,
+        edges_sorted=True,
+        edge_sentinel="dst",
     ):
         n = vertex_features.shape[0]
         # auto-registration offsets shift only the destination coords
@@ -254,12 +289,19 @@ class GraphNetAutoCenter:
                     compute_dtype=compute_dtype,
                 )
 
+        edge_fn, edges_sorted = _apply_sentinel(
+            edge_fn, edge_sentinel, n, self._agg_name, edges_sorted
+        )
+
         if blocked_edges and self._agg_name == "max":
             # device-built graphs block edges as [n, S] per center: the
             # per-center max is a reshape + reduce, no segment scatter
             s = blocked_edges
             h = edge_fn(edges_src, edges_dst)
-            slot_valid = (edges_dst.reshape(n, s) < n)[:, :, None]
+            slot_valid = (
+                (edges_dst.reshape(n, s) < n)
+                & (edges_src.reshape(n, s) < n)
+            )[:, :, None]
             hh = jnp.where(
                 slot_valid, h.reshape(n, s, -1), jnp.asarray(-jnp.inf, h.dtype)
             )
@@ -274,6 +316,7 @@ class GraphNetAutoCenter:
                 # aggregate in the compute dtype: the [E, width] edge
                 # tensor dominates HBM traffic; max-reduction dtype-safe
                 dtype=compute_dtype or vertex_features.dtype,
+                sorted=edges_sorted,
             )
         agg = agg.astype(vertex_features.dtype)
         update = mlp.apply_mlp(

@@ -18,42 +18,48 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_max(edge_features, edges_dst, num_centers: int):
+def segment_max(edge_features, edges_dst, num_centers: int, sorted=True):
     """[E, C] features, [E] destinations → [num_centers, C].
 
     Empty segments yield 0 (TF returns dtype.min; every real center has
     at least its self-edge so the difference is only visible on padded
     rows, which are masked downstream either way).
+
+    ``sorted`` asserts non-decreasing destinations.  Host-padded graphs
+    satisfy it (sentinels at the end); device-built graphs interleave
+    sentinel slots between center blocks and MUST pass ``sorted=False``
+    — on TPU a false sortedness promise silently corrupts results at
+    some shapes (e.g. E=393216, H=300: ~78%% wrong rows).
     """
     agg = jax.ops.segment_max(
         edge_features,
         edges_dst,
         num_segments=num_centers + 1,
-        indices_are_sorted=True,
+        indices_are_sorted=sorted,
     )[:num_centers]
     return jnp.where(jnp.isfinite(agg), agg, 0.0)
 
 
-def segment_sum(edge_features, edges_dst, num_centers: int):
+def segment_sum(edge_features, edges_dst, num_centers: int, sorted=True):
     return jax.ops.segment_sum(
         edge_features,
         edges_dst,
         num_segments=num_centers + 1,
-        indices_are_sorted=True,
+        indices_are_sorted=sorted,
     )[:num_centers]
 
 
-def segment_mean(edge_features, edges_dst, num_centers: int):
+def segment_mean(edge_features, edges_dst, num_centers: int, sorted=True):
     s = jax.ops.segment_sum(
         edge_features,
         edges_dst,
         num_segments=num_centers + 1,
-        indices_are_sorted=True,
+        indices_are_sorted=sorted,
     )
     ones = jnp.ones((edge_features.shape[0], 1), edge_features.dtype)
     c = jax.ops.segment_sum(
         ones, edges_dst, num_segments=num_centers + 1,
-        indices_are_sorted=True,
+        indices_are_sorted=sorted,
     )
     return (s / jnp.maximum(c, 1.0))[:num_centers]
 
@@ -74,6 +80,7 @@ def chunked_aggregate(
     aggregation: str,
     num_chunks: int,
     dtype=jnp.float32,
+    sorted=True,
 ):
     """Streaming edge aggregation: ``agg(edge_fn(src, dst))`` computed in
     ``num_chunks`` blocks under ``lax.scan`` with a rematerialized body.
@@ -91,7 +98,8 @@ def chunked_aggregate(
     E = edges_src.shape[0]
     if num_chunks <= 1 or E % num_chunks != 0:
         return AGGREGATIONS[aggregation](
-            edge_fn(edges_src, edges_dst), edges_dst, num_centers
+            edge_fn(edges_src, edges_dst), edges_dst, num_centers,
+            sorted=sorted,
         )
     src_chunks = edges_src.reshape(num_chunks, -1)
     dst_chunks = edges_dst.reshape(num_chunks, -1)
@@ -113,7 +121,7 @@ def chunked_aggregate(
             src, dst = xs
             part = jax.ops.segment_max(
                 edge_fn(src, dst).astype(dtype), dst,
-                num_segments=n_seg, indices_are_sorted=True,
+                num_segments=n_seg, indices_are_sorted=sorted,
             )
             return jnp.maximum(carry, part), None
 
@@ -134,11 +142,11 @@ def chunked_aggregate(
         vals, counts = carry
         ef = edge_fn(src, dst).astype(dtype)
         vals = vals + jax.ops.segment_sum(
-            ef, dst, num_segments=n_seg, indices_are_sorted=True
+            ef, dst, num_segments=n_seg, indices_are_sorted=sorted
         )
         counts = counts + jax.ops.segment_sum(
             jnp.ones((ef.shape[0], 1), dtype), dst,
-            num_segments=n_seg, indices_are_sorted=True,
+            num_segments=n_seg, indices_are_sorted=sorted,
         )
         return (vals, counts), None
 

@@ -53,8 +53,9 @@ def test_radius_edges_match_bruteforce():
         lambda a, b, c, d: db.radius_edges(a, b, c, d, level)
     )(xyz, src_mask, ctr, ctr_mask)
     e_src, e_dst = np.asarray(e_src), np.asarray(e_dst)
-    real = e_dst < 100
-    # every returned edge satisfies the radius and validity constraints
+    # src-sentinel layout: dst always the owning center, invalid slots
+    # carry src == num_sources
+    real = e_src < 600
     d = np.linalg.norm(xyz[e_src[real]] - ctr[e_dst[real]], axis=1)
     assert (d <= 2.0 + 1e-5).all()
     assert (e_src[real] < 550).all()
@@ -78,9 +79,9 @@ def test_radius_edges_cap():
     ctr_mask = np.ones(4, bool)
     level = db.LevelSpec(radius=1.0, cell_cap=64, per_center_cap=16)
     e_src, e_dst = db.radius_edges(xyz, mask, ctr, ctr_mask, level)
-    e_dst = np.asarray(e_dst)
+    e_src, e_dst = np.asarray(e_src), np.asarray(e_dst)
     for c in range(4):
-        assert (e_dst == c).sum() == 16  # capped
+        assert ((e_dst == c) & (e_src < 64)).sum() == 16  # capped
 
 
 def test_build_padded_graph_runs_model():
@@ -98,6 +99,7 @@ def test_build_padded_graph_runs_model():
     model = PointGNN(
         num_classes=4, box_encoding_len=7,
         layer_configs=cfg["model_kwargs"]["layer_configs"], mode="test",
+        edge_sentinel="src",
     )
     params = model.init(jax.random.PRNGKey(0), input_dim=1)
 
@@ -113,8 +115,8 @@ def test_build_padded_graph_runs_model():
     # keypoint level is populated
     assert np.asarray(graph.vertex_mask[1]).sum() > 100
     # level-1 has self-edges (center within its own radius)
-    e1_dst = np.asarray(graph.edges_dst[1])
-    assert (e1_dst < 1024).sum() > 0
+    e1_src = np.asarray(graph.edges_src[1])
+    assert (e1_src < 1024).sum() > 0
 
 
 def test_device_vs_host_builder_equivalent_geometry():
@@ -128,7 +130,7 @@ def test_device_vs_host_builder_equivalent_geometry():
     level = db.LevelSpec(radius=4.0, cell_cap=256, per_center_cap=256)
     e_src, e_dst = db.radius_edges(xyz, mask, xyz, mask, level)
     e_src, e_dst = np.asarray(e_src), np.asarray(e_dst)
-    real = e_dst < 400
+    real = e_src < 400
     host_edges = host_radius.radius_neighbors(
         xyz, xyz, 4.0, num_neighbors=-1
     )
