@@ -30,7 +30,6 @@ def main():
     parser.add_argument("--steps", type=int, default=800)
     parser.add_argument("--T", type=int, default=1)
     parser.add_argument("--frames", type=int, default=14)
-    parser.add_argument("--fast", action="store_true", default=False)
     parser.add_argument("--min_ap", type=float, default=-1.0,
                         help="exit nonzero if Car_3d_moderate AP is below")
     args = parser.parse_args()
@@ -95,12 +94,6 @@ def main():
     trainer.train()
     trainer.close()
 
-    pipeline = InferencePipeline(
-        config,
-        checkpoint_dir=train_dir,
-        capacity=cap,
-        on_device_graph=args.fast,
-    )
     dataset = KittiDataset(
         os.path.join(kitti_root, "image/training/image_2"),
         os.path.join(kitti_root, "velodyne/training/velodyne"),
@@ -108,17 +101,34 @@ def main():
         os.path.join(kitti_root, "labels/training/label_2"),
         num_classes=4,
     )
-    result_dir = os.path.join(work, "results")
-    pipeline.run_dataset(dataset, result_dir)
-
     gt_dir = os.path.join(kitti_root, "labels/training/label_2")
-    results = kitti_eval.evaluate(gt_dir, result_dir)
-    for key in sorted(results):
-        print("%s: AP %.2f  AP_R40 %.2f" % (
-            key, results[key]["ap"], results[key]["ap_r40"]
-        ))
-    ap = results.get("Car_3d_moderate", {}).get("ap", 0.0)
-    print("Car_3d_moderate AP = %.2f  (workdir %s)" % (ap, work))
+
+    # score BOTH inference paths with the trained weights: this is the
+    # check that catches silent numeric corruption no random-weight
+    # unit test can see (see docs/PERF_NOTES.md, sortedness trap)
+    aps = {}
+    for fast in (False, True):
+        pipeline = InferencePipeline(
+            config,
+            checkpoint_dir=train_dir,
+            capacity=cap,
+            on_device_graph=fast,
+        )
+        result_dir = os.path.join(
+            work, "results_fast" if fast else "results"
+        )
+        pipeline.run_dataset(dataset, result_dir)
+        results = kitti_eval.evaluate(gt_dir, result_dir)
+        label = "fast(on-device)" if fast else "host"
+        for key in sorted(results):
+            print("[%s] %s: AP %.2f  AP_R40 %.2f" % (
+                label, key, results[key]["ap"], results[key]["ap_r40"]
+            ))
+        aps[label] = results.get("Car_3d_moderate", {}).get("ap", 0.0)
+    print("Car_3d_moderate AP: host %.2f, fast %.2f  (workdir %s)" % (
+        aps["host"], aps["fast(on-device)"], work
+    ))
+    ap = min(aps.values())
     if args.min_ap >= 0 and ap < args.min_ap:
         print("FAIL: below --min_ap %.2f" % args.min_ap)
         sys.exit(1)
