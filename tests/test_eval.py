@@ -69,3 +69,39 @@ def test_eval_once_and_repeat(trained_dir):
         assert evaluator._evaluated_steps == {1}
     finally:
         evaluator.close()
+
+
+def test_eval_cli_subprocess(trained_dir, tmp_path):
+    """The eval.py CLI polls the train_dir, evaluates the checkpoint,
+    and exits at max_step."""
+    import json
+
+    root, train_dir, config, spec = trained_dir
+    eval_cfg = {
+        "eval_dataset": "train.txt",
+        "train_dir": train_dir,
+        "eval_dir": str(tmp_path / "eval_out"),
+        "NUM_TEST_SAMPLE": 1,
+        "eval_every_second": 1,
+        "max_step": 1,
+    }
+    cfg_path = str(tmp_path / "eval_config")
+    with open(cfg_path, "w") as f:
+        json.dump(eval_cfg, f)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "eval.py"),
+            cfg_path,
+            "--dataset_root_dir", root,
+            "--dataset_split_file",
+            os.path.join(root, "3DOP_splits/train.txt"),
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.isfile(
+        os.path.join(eval_cfg["eval_dir"], "scalars.jsonl")
+    ), out.stdout[-1000:]
