@@ -165,3 +165,43 @@ def test_run_cli_with_vis(kitti_root, tmp_path):
     vis_dir = os.path.join(ck, "eval/vis")
     assert os.path.isfile(os.path.join(vis_dir, "000000.png"))
     assert os.path.isfile(os.path.join(vis_dir, "000000_bev.png"))
+
+
+def test_make_splits_cli(kitti_root, tmp_path):
+    out = str(tmp_path / "train_car.txt")
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "make_splits.py"),
+         kitti_root,
+         "--classes", "Car", "--output", out],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    with open(out) as f:
+        ids = [line.strip() for line in f if line.strip()]
+    assert ids, "synthetic dataset has Car frames"
+    # every listed frame really contains a Car
+    from pointgnn_tpu.data.kitti import parse_label_line
+
+    for fid in ids:
+        with open(
+            os.path.join(
+                kitti_root, "labels", "training", "label_2", fid + ".txt"
+            )
+        ) as f:
+            labels = [parse_label_line(l) for l in f if l.strip()]
+        assert any(l and l["name"] == "Car" for l in labels)
+
+    # base-split restriction is honored
+    base = str(tmp_path / "base.txt")
+    with open(base, "w") as f:
+        f.write(ids[0] + "\n")
+    out2 = str(tmp_path / "sub.txt")
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "make_splits.py"),
+         kitti_root,
+         "--classes", "Car", "--base-split", base, "--output", out2],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    with open(out2) as f:
+        assert [line.strip() for line in f if line.strip()] == [ids[0]]
