@@ -104,6 +104,7 @@ class InferencePipeline:
         edge_chunks: Optional[int] = None,
         compute_dtype="auto",
         max_hypotheses: int = 4096,
+        pallas_tail="auto",
     ):
         import jax
 
@@ -139,6 +140,12 @@ class InferencePipeline:
         # graphs — but those MUST run with edges_sorted=False (their
         # sentinel slots interleave between center blocks)
         blocked = None
+        if pallas_tail == "auto":
+            # fused Pallas edge tail: a real win on TPU; on CPU it would
+            # run in (slow) interpret mode, so auto only enables it for
+            # device-built graphs on a TPU backend
+            pallas_tail = on_device_graph and jax.default_backend() == "tpu"
+        self.pallas_tail = bool(pallas_tail)
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
             box_encoding_len=self.enc_len,
@@ -147,6 +154,7 @@ class InferencePipeline:
             compute_dtype=compute_dtype,
             blocked_edges=blocked,
             edge_sentinel="src" if on_device_graph else "dst",
+            pallas_tail=self.pallas_tail,
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]

@@ -50,6 +50,7 @@ class PointGNN:
         blocked_edges=None,
         edges_sorted: bool = True,
         edge_sentinel: str = "dst",
+        pallas_tail: bool = False,
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -78,6 +79,9 @@ class PointGNN:
         self.edges_sorted = edges_sorted
         # padding convention: "dst" (host graphs) or "src" (device)
         self.edge_sentinel = edge_sentinel
+        # fused Pallas inference tail over the blocked src-sentinel
+        # layout (nn/pallas_kernels.edge_tail_max); inference only
+        self.pallas_tail = pallas_tail and mode != "train"
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -150,6 +154,7 @@ class PointGNN:
                 kw["blocked_edges"] = self.blocked_edges[g]
             kw["edges_sorted"] = self.edges_sorted
             kw["edge_sentinel"] = self.edge_sentinel
+            kw["pallas_tail"] = self.pallas_tail
             layer = self._layers[i]
             p = params[cfg["scope"]]
             if isinstance(layer, PointSetPooling):

@@ -102,9 +102,60 @@ class PointSetPooling:
         blocked_edges=None,
         edges_sorted=True,
         edge_sentinel="dst",
+        pallas_tail=False,
     ):
         num_centers = center_xyz.shape[0]
         num_src = point_features.shape[0]
+
+        if (
+            pallas_tail
+            and self._agg_name == "max"
+            and edge_sentinel == "src"
+            and point_MLP_normalization_type == "NONE"
+            and point_MLP_activation_type == "ReLU"
+            and edges_src.shape[0] % num_centers == 0
+        ):
+            # Same algebraic fold as the GNN fast path below:
+            #   concat(feat, p_xyz - c_xyz) @ W0 + b0 == A[src] - B[dst]
+            # with A = feat @ W0a + p_xyz @ W0b + b0, B = c_xyz @ W0b,
+            # then the fused Pallas tail (subtract/ReLU/dense/max).
+            pp = params["point_mlp"]
+            w0, b0 = pp[0]["w"], pp[0]["b"]
+            c = point_features.shape[1]
+            cd = compute_dtype or point_features.dtype
+            w0b = w0[c:]
+            table_a = (
+                point_features @ w0[:c]
+                + point_xyz.astype(w0.dtype) @ w0b + b0
+            ).astype(cd)
+            table_b = (center_xyz.astype(w0.dtype) @ w0b).astype(cd)
+            from pointgnn_tpu.nn import pallas_kernels as pk
+
+            s = edges_src.shape[0] // num_centers
+            gathered = table_a[jnp.minimum(edges_src, num_src - 1)]
+            slot_valid = (
+                (edges_src < num_src)
+                .reshape(num_centers, s).astype(jnp.float32)
+            )
+            tail_weights = []
+            for layer in pp[1:]:
+                tail_weights += [
+                    layer["w"].astype(cd), layer["b"].astype(cd)
+                ]
+            agg = pk.edge_tail_max(
+                gathered, table_b, slot_valid, tuple(tail_weights),
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            agg = agg.astype(point_features.dtype)
+            out = mlp.apply_mlp(
+                params["output_mlp"], agg, is_logits=False,
+                normalization_type=output_MLP_normalization_type,
+                activation_type=output_MLP_activation_type,
+                mask=center_mask, compute_dtype=compute_dtype,
+            )
+            if center_mask is not None:
+                out = out * center_mask[:, None].astype(out.dtype)
+            return out
 
         def edge_fn(src, dst_raw):
             sf = point_features[src]
@@ -219,6 +270,7 @@ class GraphNetAutoCenter:
         blocked_edges=None,
         edges_sorted=True,
         edge_sentinel="dst",
+        pallas_tail=False,
     ):
         n = vertex_features.shape[0]
         # auto-registration offsets shift only the destination coords
@@ -260,6 +312,47 @@ class GraphNetAutoCenter:
             ).astype(cd)
             table_b = (shifted_xyz.astype(w0.dtype) @ w0b).astype(cd)
             act = mlp.ACTIVATIONS[edge_MLP_activation_type]
+
+            if (
+                pallas_tail
+                and self._agg_name == "max"
+                and edge_sentinel == "src"
+                and edge_MLP_activation_type == "ReLU"
+                and edges_src.shape[0] % n == 0
+            ):
+                # Fused inference tail (nn/pallas_kernels.edge_tail_max):
+                # XLA performs the one [E, H] row gather; the kernel
+                # fuses subtract/ReLU/dense-chain/masked-max in VMEM so
+                # no other [E, H] intermediate touches HBM.  Requires
+                # the device builder's blocked src-sentinel layout
+                # (dst of slot (c, s) is always center c).
+                from pointgnn_tpu.nn import pallas_kernels as pk
+
+                s = edges_src.shape[0] // n
+                gathered = table_a[jnp.minimum(edges_src, n - 1)]
+                slot_valid = (
+                    (edges_src < n).reshape(n, s).astype(jnp.float32)
+                )
+                tail_weights = []
+                for layer in ep[1:]:
+                    tail_weights += [
+                        layer["w"].astype(cd), layer["b"].astype(cd)
+                    ]
+                agg = pk.edge_tail_max(
+                    gathered, table_b, slot_valid, tuple(tail_weights),
+                    interpret=(jax.default_backend() != "tpu"),
+                )
+                agg = agg.astype(vertex_features.dtype)
+                update = mlp.apply_mlp(
+                    params["update_mlp"], agg, is_logits=True,
+                    normalization_type=update_MLP_normalization_type,
+                    activation_type=update_MLP_activation_type,
+                    mask=vertex_mask, compute_dtype=compute_dtype,
+                )
+                out = update + vertex_features  # residual (gnn.py:372)
+                if vertex_mask is not None:
+                    out = out * vertex_mask[:, None].astype(out.dtype)
+                return out
 
             def edge_fn(src, dst_raw):
                 dst = jnp.minimum(dst_raw, n - 1)

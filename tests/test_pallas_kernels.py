@@ -48,3 +48,143 @@ def test_fused_edge_max_all_invalid_center():
     out = np.asarray(out)
     assert (out[3] == 0.0).all()
     assert (out[0] == 1.0).all()
+
+
+def test_edge_tail_max_parity():
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import edge_tail_max
+
+    rng = np.random.default_rng(1)
+    K, S, H = 64, 16, 300
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    edges = rng.integers(0, K, (K, S)).astype(np.int32)
+    valid = (rng.uniform(size=(K, S)) > 0.3).astype(np.float32)
+    w1 = rng.normal(size=(H, H)).astype(np.float32) * 0.05
+    b1 = rng.normal(size=(H,)).astype(np.float32) * 0.1
+
+    h = np.maximum(A[edges] - B[:, None, :], 0.0)
+    h = np.maximum(h @ w1 + b1, 0.0)
+    h = np.where(valid[:, :, None] > 0, h, -1e30)
+    agg = h.max(axis=1)
+    expected = np.where(agg > -1e29, agg, 0.0)
+
+    gathered = jnp.asarray(A)[jnp.asarray(edges).reshape(-1)]
+    out = edge_tail_max(
+        gathered, jnp.asarray(B), jnp.asarray(valid),
+        (jnp.asarray(w1), jnp.asarray(b1)),
+        block_centers=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5, atol=2e-5)
+
+
+def test_gnn_layer_pallas_tail_matches_segment_path():
+    """GraphNetAutoCenter with pallas_tail=True must match the default
+    chunked-segment path on a src-sentinel blocked graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import GraphNetAutoCenter
+
+    rng = np.random.default_rng(2)
+    N, S, C = 32, 8, 64
+    feats = rng.normal(size=(N, C)).astype(np.float32)
+    xyz = rng.normal(size=(N, 3)).astype(np.float32)
+    # blocked src-sentinel layout: dst of slot (c, s) is center c
+    src = rng.integers(0, N, (N, S)).astype(np.int32)
+    src[rng.uniform(size=(N, S)) < 0.3] = N  # sentinel slots
+    src[5, :] = N  # one center with no edges at all
+    dst = np.repeat(np.arange(N, dtype=np.int32), S)
+    mask = np.ones((N,), np.float32)
+
+    layer = GraphNetAutoCenter("max")
+    kw = dict(
+        edge_MLP_depth_list=[C, C],
+        update_MLP_depth_list=[C, C],
+        auto_offset=True,
+        auto_offset_MLP_depth_list=[32, 3],
+        edge_MLP_normalization_type="NONE",
+        update_MLP_normalization_type="NONE",
+        auto_offset_MLP_normalization_type="NONE",
+    )
+    params = layer.init(jax.random.PRNGKey(0), C, **kw)
+    run_kw = dict(
+        edge_MLP_depth_list=[C, C],
+        edge_MLP_normalization_type="NONE",
+        edge_MLP_activation_type="ReLU",
+        update_MLP_depth_list=[C, C],
+        update_MLP_normalization_type="NONE",
+        update_MLP_activation_type="ReLU",
+        auto_offset=True,
+        auto_offset_MLP_depth_list=[32, 3],
+        auto_offset_MLP_normalization_type="NONE",
+        auto_offset_MLP_feature_activation_type="ReLU",
+        edge_sentinel="src",
+    )
+    ref = layer.apply(
+        params, jnp.asarray(feats), jnp.asarray(xyz),
+        jnp.asarray(src.reshape(-1)), jnp.asarray(dst),
+        vertex_mask=jnp.asarray(mask), pallas_tail=False, **run_kw,
+    )
+    out = layer.apply(
+        params, jnp.asarray(feats), jnp.asarray(xyz),
+        jnp.asarray(src.reshape(-1)), jnp.asarray(dst),
+        vertex_mask=jnp.asarray(mask), pallas_tail=True, **run_kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_psp_layer_pallas_tail_matches_segment_path():
+    """PointSetPooling with pallas_tail=True must match the default
+    path on a src-sentinel blocked graph (fold + fused tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import PointSetPooling
+
+    rng = np.random.default_rng(3)
+    P, K, S, C = 128, 32, 8, 1
+    feats = rng.normal(size=(P, C)).astype(np.float32)
+    p_xyz = rng.normal(size=(P, 3)).astype(np.float32)
+    c_xyz = p_xyz[:K].copy()
+    src = rng.integers(0, P, (K, S)).astype(np.int32)
+    src[rng.uniform(size=(K, S)) < 0.3] = P
+    src[2, :] = P  # center with no points
+    dst = np.repeat(np.arange(K, dtype=np.int32), S)
+    mask = np.ones((K,), np.float32)
+
+    layer = PointSetPooling("max")
+    kw = dict(
+        point_MLP_depth_list=[16, 32, 48],
+        output_MLP_depth_list=[48, 48],
+        point_MLP_normalization_type="NONE",
+        output_MLP_normalization_type="NONE",
+    )
+    params = layer.init(jax.random.PRNGKey(1), C, **kw)
+    run_kw = dict(
+        point_MLP_depth_list=[16, 32, 48],
+        point_MLP_normalization_type="NONE",
+        point_MLP_activation_type="ReLU",
+        output_MLP_depth_list=[48, 48],
+        output_MLP_normalization_type="NONE",
+        output_MLP_activation_type="ReLU",
+        edge_sentinel="src",
+    )
+    args = (
+        jnp.asarray(feats), jnp.asarray(p_xyz), jnp.asarray(c_xyz),
+        jnp.asarray(src.reshape(-1)), jnp.asarray(dst),
+    )
+    ref = layer.apply(
+        params, *args, center_mask=jnp.asarray(mask),
+        pallas_tail=False, **run_kw,
+    )
+    out = layer.apply(
+        params, *args, center_mask=jnp.asarray(mask),
+        pallas_tail=True, **run_kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
