@@ -46,6 +46,14 @@ class LevelSpec(NamedTuple):
     cell_cap: int        # max candidates stored per grid cell (M)
     per_center_cap: int  # max neighbors kept per center (edge budget/K)
     grid_xz: int = 256   # dense 2D grid extent (cells per side)
+    # compact candidates with jax.lax.approx_max_k (the TPU PartialReduce
+    # instruction) instead of exact top_k: several times faster at these
+    # widths, at the cost of dropping ~(1-recall) of the in-radius
+    # neighbors per center when more than per_center_cap are available —
+    # the same kind of cap the reference itself applies (graph_gen.py:
+    # 210-214 randomly subsamples to num_neighbors at train time)
+    approx_topk: bool = False
+    approx_recall: float = 0.98
 
 
 class DeviceGraphSpec(NamedTuple):
@@ -66,6 +74,7 @@ def spec_from_config(
     cell_caps: Tuple[int, int] = (96, 192),
     per_center_caps: Tuple[int, int] = (32, 256),
     world_extent: float = 260.0,
+    approx_topk: bool = False,
 ) -> DeviceGraphSpec:
     """Derive the spec from a reference-format model config.
 
@@ -86,7 +95,10 @@ def spec_from_config(
     def level(i, cell_cap, per_center_cap):
         r = float(levels[i]["graph_gen_kwargs"]["radius"])
         grid = int(np.clip(int(np.ceil(world_extent / r)), 32, 512))
-        return LevelSpec(r, cell_cap, per_center_cap, grid_xz=grid)
+        return LevelSpec(
+            r, cell_cap, per_center_cap, grid_xz=grid,
+            approx_topk=approx_topk,
+        )
 
     return DeviceGraphSpec(
         num_points=num_points,
@@ -220,7 +232,13 @@ def radius_edges(
     # compact to the first s hits per center: top_k on a slot-ranked key
     width = 9 * m
     key = jnp.where(ok, width - jnp.arange(width, dtype=jnp.int32), 0)
-    topv, topi = jax.lax.top_k(key, s)  # [K, s]
+    if level.approx_topk:
+        topv, topi = jax.lax.approx_max_k(
+            key.astype(jnp.float32), s,
+            recall_target=level.approx_recall,
+        )
+    else:
+        topv, topi = jax.lax.top_k(key, s)  # [K, s]
     slot_valid = topv > 0
     picked = jnp.take_along_axis(cand_i, topi, axis=1)
     # SRC-sentinel convention: dst is always the center (so the edge

@@ -137,3 +137,31 @@ def test_device_vs_host_builder_equivalent_geometry():
     device_set = set(zip(e_src[real].tolist(), e_dst[real].tolist()))
     host_set = set(map(tuple, host_edges.tolist()))
     assert device_set == host_set
+
+
+def test_radius_edges_approx_topk_cpu_fallback_parity():
+    """approx_topk=True must produce the same edge sets on the CPU
+    fallback (exact there); on TPU it trades ~(1-recall) of neighbors
+    for a much cheaper compaction (docs/PERF_NOTES.md)."""
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.graph.device_builder import LevelSpec, radius_edges
+
+    rng = np.random.default_rng(7)
+    xyz = rng.uniform(0, 20, (512, 3)).astype(np.float32)
+    mask = np.ones(512, bool)
+    mask[500:] = False
+    exact = LevelSpec(2.0, 32, 24, grid_xz=16)
+    approx = exact._replace(approx_topk=True)
+    se, _ = radius_edges(
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.asarray(xyz), jnp.asarray(mask), exact,
+    )
+    sa, _ = radius_edges(
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.asarray(xyz), jnp.asarray(mask), approx,
+    )
+    se = np.asarray(se).reshape(512, -1)
+    sa = np.asarray(sa).reshape(512, -1)
+    for r1, r2 in zip(se, sa):
+        assert set(r1[r1 < 512]) == set(r2[r2 < 512])
