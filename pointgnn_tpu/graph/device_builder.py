@@ -64,6 +64,13 @@ class DeviceGraphSpec(NamedTuple):
     voxel_size: float     # level-0 downsampling voxel
     level0: LevelSpec     # raw -> keypoints edges
     level1: LevelSpec     # keypoints -> keypoints edges
+    # level-1 "slab" mode: no edge list at all — keypoints are sorted by
+    # radius-grid cell and the GNN layers run the fused radius-search +
+    # edge-MLP kernel (nn/pallas_kernels.slab_edge_max) over per-cell
+    # row ranges.  Semantics: the UNCAPPED radius graph (the reference's
+    # runtime num_neighbors=-1), vs. the per_center_cap approximation of
+    # the edge-list path.
+    slab_level1: bool = False
 
 
 def spec_from_config(
@@ -255,6 +262,35 @@ def radius_edges(
     return edges_src, edges_dst
 
 
+def slab_metadata(kp_xyz, kp_mask, level: LevelSpec):
+    """Cell-sort order + per-cell row offsets for slab-mode level 1.
+
+    Returns ``(order [K], sorted_cell [K], offsets [g*g+1])`` where
+    ``order`` permutes keypoints into cell-major order (padding rows,
+    cell == g*g, sort last) and ``offsets[c]:offsets[c+1]`` is cell
+    ``c``'s row range in that order.
+    """
+    g = level.grid_xz
+    r = level.radius
+    num_cells = g * g
+    origin = jnp.min(jnp.where(kp_mask[:, None], kp_xyz, jnp.inf), axis=0)
+    cx = jnp.clip(
+        jnp.floor((kp_xyz[:, 0] - origin[0]) / r).astype(jnp.int32),
+        0, g - 1,
+    )
+    cz = jnp.clip(
+        jnp.floor((kp_xyz[:, 2] - origin[2]) / r).astype(jnp.int32),
+        0, g - 1,
+    )
+    cell = jnp.where(kp_mask, cx * g + cz, num_cells)
+    order = jnp.argsort(cell)  # stable
+    sorted_cell = cell[order].astype(jnp.int32)
+    offsets = jnp.searchsorted(
+        sorted_cell, jnp.arange(num_cells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return order, sorted_cell, offsets
+
+
 def build_padded_graph(
     points_xyz,            # [P, 3] float32
     features,              # [P, C] float32
@@ -267,12 +303,27 @@ def build_padded_graph(
         points_xyz, points_mask, spec.voxel_size, spec.num_keypoints
     )
     kp_xyz = jnp.where(kp_mask[:, None], points_xyz[kp_idx], 0.0)
+    slab_offsets = slab_center_cell = None
+    if spec.slab_level1:
+        # re-order keypoints into level-1 cell-major order so the slab
+        # kernel can DMA contiguous per-cell row ranges; all downstream
+        # per-vertex arrays simply follow this order
+        order, slab_center_cell, slab_offsets = slab_metadata(
+            kp_xyz, kp_mask, spec.level1
+        )
+        kp_idx = kp_idx[order]
+        kp_mask = kp_mask[order]
+        kp_xyz = kp_xyz[order]
     e0_src, e0_dst = radius_edges(
         points_xyz, points_mask, kp_xyz, kp_mask, spec.level0
     )
-    e1_src, e1_dst = radius_edges(
-        kp_xyz, kp_mask, kp_xyz, kp_mask, spec.level1
-    )
+    if spec.slab_level1:
+        e1_src = jnp.zeros((1,), jnp.int32)
+        e1_dst = jnp.zeros((1,), jnp.int32)
+    else:
+        e1_src, e1_dst = radius_edges(
+            kp_xyz, kp_mask, kp_xyz, kp_mask, spec.level1
+        )
     k = spec.num_keypoints
     maskf = points_mask.astype(jnp.float32)
     kp_maskf = kp_mask.astype(jnp.float32)
@@ -293,6 +344,8 @@ def build_padded_graph(
         cls_labels=jnp.zeros((k,), jnp.int32),
         encoded_boxes=jnp.zeros((k, 7), jnp.float32),
         valid_boxes=jnp.zeros((k,), jnp.float32),
+        slab_offsets=slab_offsets,
+        slab_center_cell=slab_center_cell,
     )
 
 

@@ -91,6 +91,10 @@ class PaddedGraph(NamedTuple):
     cls_labels: np.ndarray                  # [K_last] int32
     encoded_boxes: np.ndarray               # [K_last, 7] float32
     valid_boxes: np.ndarray                 # [K_last] float32
+    # slab-mode level-1 metadata (device_builder.slab_metadata): cell
+    # row offsets + per-vertex cell ids replace the level-1 edge list
+    slab_offsets: Optional[np.ndarray] = None     # [g*g+1] int32
+    slab_center_cell: Optional[np.ndarray] = None  # [K1] int32
 
     @property
     def num_levels(self) -> int:

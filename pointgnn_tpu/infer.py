@@ -105,6 +105,7 @@ class InferencePipeline:
         compute_dtype="auto",
         max_hypotheses: int = 4096,
         pallas_tail="auto",
+        slab="auto",
     ):
         import jax
 
@@ -146,6 +147,18 @@ class InferencePipeline:
             # device-built graphs on a TPU backend
             pallas_tail = on_device_graph and jax.default_backend() == "tpu"
         self.pallas_tail = bool(pallas_tail)
+        if slab == "auto":
+            # slab mode (fused radius search + edge MLP, no level-1
+            # edge list): the production TPU path
+            slab = self.pallas_tail
+        self.slab = bool(slab) and on_device_graph
+        slab_level1 = None
+        if self.slab:
+            self.device_spec = self.device_spec._replace(slab_level1=True)
+            slab_level1 = {
+                "grid_g": self.device_spec.level1.grid_xz,
+                "radius": self.device_spec.level1.radius,
+            }
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
             box_encoding_len=self.enc_len,
@@ -155,6 +168,7 @@ class InferencePipeline:
             blocked_edges=blocked,
             edge_sentinel="src" if on_device_graph else "dst",
             pallas_tail=self.pallas_tail,
+            slab_level1=slab_level1,
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]

@@ -51,6 +51,7 @@ class PointGNN:
         edges_sorted: bool = True,
         edge_sentinel: str = "dst",
         pallas_tail: bool = False,
+        slab_level1: Optional[dict] = None,
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -82,6 +83,11 @@ class PointGNN:
         # fused Pallas inference tail over the blocked src-sentinel
         # layout (nn/pallas_kernels.edge_tail_max); inference only
         self.pallas_tail = pallas_tail and mode != "train"
+        # slab mode for level-1 GNN layers: static {"grid_g", "radius"}
+        # matching the graph's slab metadata (device_builder); the
+        # layers then run the fused radius-search kernel instead of
+        # consuming an edge list.  Inference only.
+        self.slab_level1 = slab_level1 if mode != "train" else None
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -170,6 +176,17 @@ class PointGNN:
                         **kw,
                     )
             else:
+                if (
+                    self.slab_level1 is not None
+                    and g == 1
+                    and graph.slab_offsets is not None
+                ):
+                    kw["slab"] = dict(
+                        self.slab_level1,
+                        offsets=graph.slab_offsets,
+                        center_cell=graph.slab_center_cell,
+                    )
+
                 def run(p, features, layer=layer, g=g, kw=kw):
                     return layer.apply(
                         p,

@@ -271,6 +271,7 @@ class GraphNetAutoCenter:
         edges_sorted=True,
         edge_sentinel="dst",
         pallas_tail=False,
+        slab=None,
     ):
         n = vertex_features.shape[0]
         # auto-registration offsets shift only the destination coords
@@ -312,6 +313,51 @@ class GraphNetAutoCenter:
             ).astype(cd)
             table_b = (shifted_xyz.astype(w0.dtype) @ w0b).astype(cd)
             act = mlp.ACTIVATIONS[edge_MLP_activation_type]
+
+            if (
+                slab is not None
+                and self._agg_name == "max"
+                and edge_MLP_activation_type == "ReLU"
+            ):
+                # Slab mode: no edge list exists — the fused kernel
+                # (nn/pallas_kernels.slab_edge_max) performs the exact
+                # uncapped radius search, the edge MLP, and the
+                # per-center max over cell-sorted vertex rows.
+                from pointgnn_tpu.nn import pallas_kernels as pk
+
+                maskb = (
+                    vertex_mask.astype(bool)
+                    if vertex_mask is not None
+                    else jnp.ones((n,), bool)
+                )
+                pad1 = jnp.zeros((n, 1), jnp.float32)
+                xyz4 = jnp.concatenate(
+                    [vertex_xyz.astype(jnp.float32), pad1], axis=1
+                )
+                src4 = jnp.where(maskb[:, None], xyz4, 1e6)
+                ctr4 = jnp.where(maskb[:, None], xyz4, -1e6)
+                tail_weights = []
+                for layer in ep[1:]:
+                    tail_weights += [layer["w"], layer["b"]]
+                agg = pk.slab_edge_max(
+                    table_a.astype(jnp.float32), src4,
+                    table_b.astype(jnp.float32), ctr4,
+                    slab["offsets"], slab["center_cell"],
+                    tuple(tail_weights),
+                    grid_g=slab["grid_g"], radius=slab["radius"],
+                    interpret=(jax.default_backend() != "tpu"),
+                )
+                agg = agg.astype(vertex_features.dtype)
+                update = mlp.apply_mlp(
+                    params["update_mlp"], agg, is_logits=True,
+                    normalization_type=update_MLP_normalization_type,
+                    activation_type=update_MLP_activation_type,
+                    mask=vertex_mask, compute_dtype=compute_dtype,
+                )
+                out = update + vertex_features
+                if vertex_mask is not None:
+                    out = out * vertex_mask[:, None].astype(out.dtype)
+                return out
 
             if (
                 pallas_tail

@@ -251,3 +251,235 @@ def edge_tail_max(
         ),
         interpret=interpret,
     )(gathered, slot_valid, table_b, *weight_args)
+
+
+# ---------------------------------------------------------------------------
+# slab_edge_max: fused radius search + edge MLP + max aggregation.
+#
+# Eliminates the level-1 edge list entirely.  Vertices arrive sorted by
+# their radius-grid cell (cell = x*g + z over a 2D (x, z) grid of
+# ``radius``-sized cells); ``offsets[c]`` gives each cell's row range in
+# that order.  One program handles ``bk`` consecutive centers: it walks
+# the 3-column candidate window around the block's cells, DMAs aligned
+# ``tile``-row slabs of the (HBM-resident) A table, distance-tests every
+# candidate against every center exactly (d^2 = |s|^2 - 2 s.c + |c|^2 on
+# the MXU), applies the edge MLP, and max-accumulates per center.
+#
+# Correctness leans on two properties of max aggregation:
+# - any SUPERSET of the in-radius candidates is fine (the exact distance
+#   test rejects the rest), so aligned-tile overfetch needs no masking;
+# - max is idempotent, so a candidate visited by two column windows
+#   contributes once.
+# Invalid rows (padding) carry sentinel coordinates (1e6) and fail the
+# distance test; there are no validity lanes at all.
+#
+# Semantics: the UNCAPPED radius graph — exactly the reference's runtime
+# graph (graph_gen.py:210-214 with num_neighbors=-1), which the edge-list
+# path can only approximate with its per-center cap.
+# ---------------------------------------------------------------------------
+
+
+def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
+                 *rest, num_weights: int, bk: int, tile: int, h: int,
+                 grid_g: int, radius: float):
+    weight_refs = rest[:num_weights]
+    table_a_ref, src_xyz_ref = rest[num_weights:num_weights + 2]
+    out_ref = rest[num_weights + 2]
+    a_tile, x_tile, sems = rest[num_weights + 3:]
+    ncells = grid_g * grid_g
+    i = pl.program_id(0)
+    row = i % 8  # cells arrive as (8, bk) SMEM blocks (sublane rule)
+    r2 = radius * radius
+
+    cmin = ccell_ref[row, 0]
+
+    def max_body(j, cm):
+        c = ccell_ref[row, j]
+        return jnp.where(c < ncells, jnp.maximum(cm, c), cm)
+
+    cmax = jax.lax.fori_loop(0, bk, max_body, jnp.int32(-1))
+
+    # per-program precompute: B rows repeated over each center's slots,
+    # and the squared-norm / coordinate views of the centers
+    b = table_b_ref[:]
+    b_rows = jnp.concatenate(
+        [jnp.broadcast_to(b[c:c + 1, :], (tile, h)) for c in range(bk)],
+        axis=0,
+    ).astype(jnp.bfloat16)
+    ctr3 = ctr_xyz_ref[:][:, :3]
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    axes_rows = [
+        (lane3 == ax).astype(jnp.float32) for ax in range(3)
+    ]
+
+    def tile_compute(off, acc):
+        cp_a = pltpu.make_async_copy(
+            table_a_ref.at[pl.ds(off, tile), :], a_tile, sems.at[0]
+        )
+        cp_x = pltpu.make_async_copy(
+            src_xyz_ref.at[pl.ds(off, tile), :], x_tile, sems.at[1]
+        )
+        cp_a.start()
+        cp_x.start()
+        cp_a.wait()
+        cp_x.wait()
+        x3 = x_tile[:][:, :3]  # lane-padded to 128; first 3 lanes real
+        # d^2 in [bk, tile] layout, no transposes: per-axis candidate
+        # coordinate ROWS [1, tile] are extracted with unit-vector dots
+        # (Precision.HIGHEST — the default bf16 matmul precision puts
+        # ~0.3% error on coordinates, flipping the radius test near the
+        # boundary), then differenced exactly against the center
+        # coordinate COLUMNS [bk, 1].  No |s|^2-2sc+|c|^2 cancellation.
+        d2 = jnp.zeros((bk, tile), jnp.float32)
+        for ax in range(3):
+            row = jax.lax.dot_general(
+                axes_rows[ax], x3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [1, tile]
+            diff = row - ctr3[:, ax:ax + 1]
+            d2 = d2 + diff * diff
+        mask = d2 <= r2  # sentinel coords (1e6) and padding auto-fail
+
+        a_bf = a_tile[:][:, :h].astype(jnp.bfloat16)
+        a_rep = jnp.concatenate([a_bf] * bk, axis=0)  # [bk*tile, h]
+        x = jnp.maximum(a_rep - b_rows, 0.0)
+        for wi in range(0, num_weights, 2):
+            w = weight_refs[wi][:]
+            bb = weight_refs[wi + 1][:]
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + bb, 0.0)
+            if wi + 2 < num_weights:
+                x = x.astype(jnp.bfloat16)
+        x3d = x.astype(jnp.float32).reshape(bk, tile, x.shape[-1])
+        maskf = mask.astype(jnp.float32).reshape(bk, tile, 1)
+        x3d = jnp.where(maskf > 0, x3d, NEG)
+        return jnp.maximum(acc, jnp.max(x3d, axis=1))
+
+    def col_body(col, acc):
+        x0 = jnp.maximum(cmin // grid_g - 1, 0)
+        xc = x0 + col
+
+        def zscan(j, carry):
+            zlo, zhi = carry
+            cc = ccell_ref[row, j]
+            xj = cc // grid_g
+            zj = cc % grid_g
+            use = (cc < ncells) & (jnp.abs(xj - xc) <= 1)
+            return (
+                jnp.where(use, jnp.minimum(zlo, zj), zlo),
+                jnp.where(use, jnp.maximum(zhi, zj), zhi),
+            )
+
+        zlo, zhi = jax.lax.fori_loop(
+            0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
+        )
+        zlo_c = jnp.maximum(zlo - 1, 0)
+        zhi_c = jnp.minimum(zhi + 1, grid_g - 1)
+        lo = offsets_ref[xc * grid_g + zlo_c]
+        hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
+        hi = jnp.where(zhi >= 0, hi_raw, lo)
+        base = (lo // tile) * tile
+        span = hi - base
+        nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
+
+        def t_body(t, acc):
+            return tile_compute(base + t * tile, acc)
+
+        return jax.lax.fori_loop(0, nt, t_body, acc)
+
+    h_out = weight_refs[-2].shape[1] if num_weights else h
+    acc0 = jnp.full((bk, h_out), NEG, jnp.float32)
+
+    x0 = jnp.maximum(cmin // grid_g - 1, 0)
+    x1 = jnp.minimum(cmax // grid_g + 1, grid_g - 1)
+    ncols = jnp.where(cmax >= 0, x1 - x0 + 1, 0)
+    acc = jax.lax.fori_loop(0, ncols, col_body, acc0)
+    out_ref[:] = jnp.where(acc > NEG / 2, acc, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid_g", "radius", "block_centers", "tile", "interpret"
+    ),
+)
+def slab_edge_max(
+    table_a,        # [K, H] float32 vertex table A (cell-sorted order)
+    src_xyz,        # [K, 4] float32, xyz + pad lane; invalid rows +1e6
+    table_b,        # [K, H] float32 vertex table B (same order)
+    ctr_xyz,        # [K, 4] float32 center coords; invalid rows -1e6
+    #                 (distinct sentinels so pad-center x pad-source
+    #                  pairs cannot pass the distance test)
+    offsets,        # [grid_g*grid_g + 1] int32 cell row offsets
+    center_cell,    # [K] int32 cell id per center (sorted; pad = ncells)
+    weights: Tuple,  # flat (w1, b1, ...) remaining edge-MLP layers
+    grid_g: int,
+    radius: float,
+    block_centers: int = 32,
+    tile: int = 128,
+    interpret: bool = False,
+):
+    """Fused uncapped radius search + edge MLP + per-center max.
+
+    Returns [K, H_out] float32.  ``table_a``/``src_xyz`` rows and
+    ``offsets`` must follow the cell-sorted vertex order."""
+    k, h = table_a.shape
+    bk = block_centers
+    while k % bk != 0 or (k // bk) % 8 != 0:
+        bk //= 2
+    h_out = weights[-2].shape[1] if weights else h
+    # pad the DMA'd tables: +tile rows so aligned tiles may read past
+    # row k, and lane dims up to multiples of 128 (Mosaic requires
+    # DMA slice widths aligned to the tiling)
+    h_pad = -(-h // 128) * 128
+    table_a = jnp.pad(
+        table_a, ((0, tile), (0, h_pad - h))
+    )
+    src_xyz = jnp.pad(
+        src_xyz, ((0, tile), (0, 128 - src_xyz.shape[1])),
+        constant_values=1e6,
+    )
+    weight_args = []
+    for idx, wb in enumerate(weights):
+        if idx % 2 == 1:
+            wb = wb.reshape(1, -1)
+        weight_args.append(jnp.asarray(wb, jnp.bfloat16))
+
+    grid = (k // bk,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # offsets
+        pl.BlockSpec((8, bk), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),                    # cells
+        pl.BlockSpec((bk, h), lambda i: (i, 0)),                  # table_b
+        pl.BlockSpec((bk, 4), lambda i: (i, 0)),                  # ctr_xyz
+    ]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args
+    ]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),                     # table_a
+        pl.BlockSpec(memory_space=pltpu.ANY),                     # src_xyz
+    ]
+    kernel = functools.partial(
+        _slab_kernel,
+        num_weights=len(weight_args),
+        bk=bk, tile=tile, h=h, grid_g=grid_g, radius=float(radius),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bk, h_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, h_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, h_pad), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
+      *weight_args, table_a, src_xyz)

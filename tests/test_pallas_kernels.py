@@ -188,3 +188,102 @@ def test_psp_layer_pallas_tail_matches_segment_path():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_slab_edge_max_brute_force_parity():
+    """slab_edge_max (fused radius search + edge MLP + max) vs a numpy
+    brute force over the exact uncapped radius graph."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from pointgnn_tpu.nn.pallas_kernels import slab_edge_max
+
+    rng = np.random.default_rng(0)
+    K, H, g, r = 256, 64, 8, 2.0
+    tile, bk = 32, 16
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[240:] = False
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = np.where(valid, cx * g + cz, g * g)
+    order = np.argsort(cell, kind="stable")
+    xyz, cell, valid = xyz[order], cell[order], valid[order]
+    offsets = np.searchsorted(cell, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    src4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    src4[~valid] = 1e6
+    ctr4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    ctr4[~valid] = -1e6
+    out = np.asarray(slab_edge_max(
+        jnp.asarray(A), jnp.asarray(src4), jnp.asarray(B),
+        jnp.asarray(ctr4), jnp.asarray(offsets),
+        jnp.asarray(cell.astype(np.int32)),
+        (jnp.asarray(w1), jnp.asarray(b1)),
+        grid_g=g, radius=r, block_centers=bk, tile=tile, interpret=True,
+    ))
+
+    def bf16(x):
+        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    ref = np.zeros((K, H), np.float32)
+    for c in range(K):
+        if not valid[c]:
+            continue
+        d2 = ((xyz - xyz[c]) ** 2).sum(1)
+        nb = np.where(valid & (d2 <= r * r))[0]
+        if len(nb) == 0:
+            continue
+        hcd = np.maximum(bf16(A[nb]) - bf16(B[c]), 0)
+        h2 = np.maximum(bf16(hcd) @ bf16(w1) + b1, 0)
+        ref[c] = h2.max(0)
+    assert (out[~valid] == 0).all()
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_slab_pipeline_matches_edge_pipeline():
+    """On-device pipeline in slab mode vs edge-list mode: identical
+    detections when the edge caps cover every true neighbor."""
+    import os
+
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        import pytest
+
+        pytest.skip("CPU-only comparison (interpret mode)")
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.core.points import Points
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import InferencePipeline
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    cfg = configs.model_config("Car", T=2)
+    spec = db.spec_from_config(
+        cfg, num_points=4096, num_keypoints=1024,
+        per_center_caps=(16, 256), cell_caps=(32, 128),
+    )
+    pts, _ = synthetic_lidar_frame(seed=0)
+    pts = Points(xyz=pts.xyz[:3000], attr=pts.attr[:3000])
+    pipe_edges = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, pallas_tail=False, slab=False, seed=3,
+    )
+    pipe_slab = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, pallas_tail=False, slab=True, seed=3,
+    )
+    c1, b1, s1, _ = pipe_edges.run_frame(pts)
+    c2, b2, s2, _ = pipe_slab.run_frame(pts)
+    assert len(c1) == len(c2)
+    np.testing.assert_allclose(np.sort(s1), np.sort(s2), atol=1e-6)
+    np.testing.assert_allclose(
+        np.sort(b1, axis=0), np.sort(b2, axis=0), atol=1e-5
+    )
