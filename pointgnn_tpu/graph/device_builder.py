@@ -360,3 +360,30 @@ def pad_points(xyz: np.ndarray, attr: np.ndarray, num_points: int):
     out_attr[:n] = attr[:n]
     mask[:n] = 1.0
     return out_xyz, out_attr, mask
+
+
+# Padding sentinel for the packed single-array payload: any coordinate
+# >= PACK_SENTINEL/10 marks a pad row.  On the tunneled TPU backend each
+# host->device put pays ~33ms of flat latency regardless of size
+# (docs/PERF_NOTES.md), so one packed put beats three small ones.
+PACK_SENTINEL = 1e6
+
+
+def pack_points(xyz: np.ndarray, attr: np.ndarray, num_points: int):
+    """Host-side: one [num_points, 3 + C] f32 payload; pad rows carry
+    sentinel coordinates (no separate mask array, no separate puts)."""
+    n = min(len(xyz), num_points)
+    out = np.zeros((num_points, 3 + attr.shape[1]), np.float32)
+    out[n:, :3] = PACK_SENTINEL
+    out[:n, :3] = xyz[:n]
+    out[:n, 3:] = attr[:n]
+    return out
+
+
+def unpack_points(packed):
+    """Device-side inverse of :func:`pack_points`:
+    ``(xyz [P,3], features [P,C], mask [P])`` with zeroed pad rows."""
+    mask = (packed[:, 0] < PACK_SENTINEL / 10).astype(jnp.float32)
+    xyz = jnp.where(mask[:, None] > 0, packed[:, :3], 0.0)
+    feats = packed[:, 3:] * mask[:, None]
+    return xyz, feats, mask

@@ -200,6 +200,7 @@ class InferencePipeline:
         self.time_dict: Dict[str, float] = {}
         self.frames_done = 0
         self._device_fn = jax.jit(self._build_device_fn())
+        self._batch_fns: Dict[int, object] = {}  # stream() batch programs
         # The first device->host fetch of a process can pay a large
         # one-time channel-setup cost on tunneled TPU backends; absorb
         # it here so per-frame stage timings reflect steady state.
@@ -242,10 +243,12 @@ class InferencePipeline:
         spec = self.device_spec
         max_hyp = self.max_hypotheses
 
-        def device_fn_points(params, points_xyz, features, mask):
-            """Fused: graph build -> GNN -> softmax -> hypothesis mask ->
-            top-k -> box decode.  Only the surviving hypotheses (scores,
-            classes, boxes, coordinates — ~100KB) leave the device."""
+        def device_fn_points(params, packed):
+            """Fused: unpack -> graph build -> GNN -> softmax ->
+            hypothesis mask -> top-k -> box decode.  One packed array in
+            (~400KB; each put costs ~33ms flat on the tunneled backend),
+            only the surviving hypotheses (~200KB) out."""
+            points_xyz, features, mask = db.unpack_points(packed)
             graph = db.build_padded_graph(points_xyz, features, mask, spec)
             logits, box_enc = model.apply(params, graph)
             probs = model.postprocess(logits)
@@ -291,58 +294,26 @@ class InferencePipeline:
         if self.on_device_graph:
             from pointgnn_tpu.graph import device_builder as db
 
-            features = select_input_features(
-                points.attr, self.input_features
-            )
-            p_xyz, p_feat, p_mask = db.pad_points(
-                points.xyz, features, self.device_spec.num_points
+            packed = db.pack_points(
+                points.xyz,
+                select_input_features(points.attr, self.input_features),
+                self.device_spec.num_points,
             )
             t1 = time.time()
             self.time_dict["gen graph"] = (
                 self.time_dict.get("gen graph", 0) + t1 - t0
             )
             scores, sel_cls, sel_boxes, sel_xyz = jax.device_get(
-                self._device_fn(self.params, p_xyz, p_feat, p_mask)
+                self._device_fn(self.params, packed)
             )
             t2 = time.time()
             self.time_dict["gnn inference"] = (
                 self.time_dict.get("gnn inference", 0) + t2 - t1
             )
-            keep = scores > 0
-            sel_labels = sel_cls[keep].astype(np.int64)
-            sel_probs = scores[keep].astype(np.float64)
-            sel_boxes = sel_boxes[keep]
-            aux = {
-                "hyp_xyz": sel_xyz[keep],
-                "probs_ori": sel_probs,
-            }
-            t3 = time.time()
-            self.time_dict["decode box"] = (
-                self.time_dict.get("decode box", 0) + t3 - t2
-            )
-            if sel_labels.size == 0:
-                return (
-                    np.zeros(0, np.int64), np.zeros((0, 7)), np.zeros(0),
-                    aux,
-                )
-            for v in range(2, self.num_classes - 1, 2):
-                sel_labels[sel_labels == v] = v - 1
-            nms_fn = nms_lib.get_nms_fn(
-                self.use_box_merge, self.use_box_score
-            )
-            class_labels, boxes_3d, out_scores, _ = nms_fn(
-                sel_labels,
-                sel_boxes.astype(np.float64),
-                sel_probs,
-                overlapped_fn=iou_lib.overlapped_boxes_3d,
-                overlapped_thres=self.config["nms_overlapped_thres"],
-                appr_factor=100.0,
-                top_k=-1,
-            )
+            result = self._finish_frame(scores, sel_cls, sel_boxes, sel_xyz)
             t4 = time.time()
-            self.time_dict["nms"] = self.time_dict.get("nms", 0) + t4 - t3
-            self.frames_done += 1
-            return class_labels, boxes_3d, out_scores, aux
+            self.time_dict["nms"] = self.time_dict.get("nms", 0) + t4 - t2
+            return result
         else:
             gen_kwargs = self.config.get(
                 "runtime_graph_gen_kwargs", self.config["graph_gen_kwargs"]
@@ -422,6 +393,119 @@ class InferencePipeline:
         self.time_dict["nms"] = self.time_dict.get("nms", 0) + t4 - t3
         self.frames_done += 1
         return class_labels, boxes_3d, scores, aux
+
+    # ------------------------------------------------------------------
+    def stream(
+        self, frames, depth: int = 2, raw: bool = False, batch: int = 4
+    ):
+        """Pipelined inference over an iterable of :class:`Points`.
+
+        Yields ``(class_labels, boxes_3d, scores, aux)`` per frame in
+        order (with ``raw=True``: the fetched device outputs, skipping
+        the host NMS tail).  Requires ``on_device_graph``.
+
+        Each host->device put on the tunneled backend pays ~33ms of
+        flat latency regardless of payload size (docs/PERF_NOTES.md),
+        so ``batch`` frames are packed into ONE put and the device
+        program ``lax.map``s the per-frame pipeline over them,
+        amortizing the put to ~33/batch ms/frame.  A background thread
+        runs the packing + puts ``depth`` batches ahead so the
+        remaining latency overlaps device compute.
+        """
+        assert self.on_device_graph, "stream() needs on_device_graph"
+        import collections
+        import concurrent.futures
+
+        import jax
+
+        from pointgnn_tpu.graph import device_builder as db
+
+        batch = max(1, int(batch))
+        if batch not in self._batch_fns:
+            base = self._build_device_fn()
+            self._batch_fns[batch] = jax.jit(
+                lambda params, stacked: jax.lax.map(
+                    lambda p: base(params, p), stacked
+                )
+            )
+        batch_fn = self._batch_fns[batch]
+
+        def put(frame_list):
+            packed = np.stack(
+                [
+                    db.pack_points(
+                        p.xyz,
+                        select_input_features(p.attr, self.input_features),
+                        self.device_spec.num_points,
+                    )
+                    for p in frame_list
+                ]
+            )
+            return jax.device_put(packed)
+
+        it = iter(frames)
+
+        def next_group():
+            group = []
+            for p in it:
+                group.append(p)
+                if len(group) == batch:
+                    break
+            if not group:
+                return None
+            real = len(group)
+            while len(group) < batch:  # pad the tail batch
+                group.append(group[-1])
+            return group, real
+
+        def submit(pool, puts):
+            nxt = next_group()
+            if nxt is not None:
+                puts.append((pool.submit(put, nxt[0]), nxt[1]))
+
+        def drain(entry):
+            outs, real = entry
+            fetched = jax.device_get(outs)
+            for i in range(real):
+                row = tuple(np.asarray(a[i]) for a in fetched)
+                yield row if raw else self._finish_frame(*row)
+
+        pending = collections.deque()  # (dispatched program, real count)
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            puts = collections.deque()  # (H2D future, real count)
+            for _ in range(depth + 1):
+                submit(pool, puts)
+            while puts:
+                fut, real = puts.popleft()
+                pending.append((batch_fn(self.params, fut.result()), real))
+                submit(pool, puts)
+                while pending and (len(pending) > depth or not puts):
+                    yield from drain(pending.popleft())
+
+    def _finish_frame(self, scores, sel_cls, sel_boxes, sel_xyz):
+        """Host tail shared by run_frame/stream: threshold, class fold,
+        NMS (run.py:264-325 semantics)."""
+        keep = scores > 0
+        sel_labels = sel_cls[keep].astype(np.int64)
+        sel_probs = scores[keep].astype(np.float64)
+        sel_boxes = sel_boxes[keep]
+        aux = {"hyp_xyz": sel_xyz[keep], "probs_ori": sel_probs}
+        if sel_labels.size == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 7)), np.zeros(0), aux
+        for v in range(2, self.num_classes - 1, 2):
+            sel_labels[sel_labels == v] = v - 1
+        nms_fn = nms_lib.get_nms_fn(self.use_box_merge, self.use_box_score)
+        class_labels, boxes_3d, out_scores, _ = nms_fn(
+            sel_labels,
+            sel_boxes.astype(np.float64),
+            sel_probs,
+            overlapped_fn=iou_lib.overlapped_boxes_3d,
+            overlapped_thres=self.config["nms_overlapped_thres"],
+            appr_factor=100.0,
+            top_k=-1,
+        )
+        self.frames_done += 1
+        return class_labels, boxes_3d, out_scores, aux
 
     # ------------------------------------------------------------------
     def detections_to_kitti(

@@ -131,3 +131,30 @@ def test_pipeline_from_checkpoint(tmp_path, pipeline):
     r1 = pipeline.run_frame(pts)
     r2 = p2.run_frame(pts)
     np.testing.assert_allclose(r1[1], r2[1], rtol=1e-5)
+
+
+def test_stream_matches_run_frame():
+    """stream() (batched lax.map + prefetch pipeline) must produce the
+    same detections as per-frame run_frame on the same frames."""
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=4096, num_keypoints=1024,
+        per_center_caps=(16, 128), cell_caps=(32, 128),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, seed=5,
+    )
+    frames = []
+    for i in range(5):  # odd count exercises the padded tail batch
+        pts, _ = synthetic_lidar_frame(seed=i)
+        frames.append(pts.__class__(xyz=pts.xyz[:3000], attr=pts.attr[:3000]))
+    singles = [pipe.run_frame(p) for p in frames]
+    streamed = list(pipe.stream(frames, batch=2))
+    assert len(streamed) == len(singles)
+    for (c1, b1, s1, _), (c2, b2, s2, _) in zip(singles, streamed):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(b1, b2, atol=1e-6)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
