@@ -47,6 +47,13 @@ def _configure(lib):
         ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
         ctypes.POINTER(i64),
     ]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.pgnn_nms.restype = None
+    lib.pgnn_nms.argtypes = [
+        f64p, f64p, ctypes.POINTER(i64), f64p, i64,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        f64p, ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -153,3 +160,39 @@ def voxel_random_native(
     if k < 0:
         return None
     return out[:k]
+
+
+def greedy_nms_native(
+    boxes: np.ndarray,       # [n, 7] float64, sorted by decreasing score
+    corners: np.ndarray,     # [n, 8, 3] float64 (possibly quantized)
+    classes: np.ndarray,     # [n] int
+    scores: np.ndarray,      # [n] float64
+    threshold: float,
+    merge: bool,
+    rescore: bool,
+):
+    """Native greedy NMS (cpp/graphlib/nms.cpp), exact parity with
+    postprocess.nms._greedy_nms.  Returns ``(keep, scores, boxes)`` or
+    None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pgnn_nms"):
+        return None
+    n = len(scores)
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+    corners = np.ascontiguousarray(corners, dtype=np.float64)
+    classes = np.ascontiguousarray(classes, dtype=np.int64)
+    out_scores = np.array(scores, dtype=np.float64, copy=True)
+    out_boxes = np.empty_like(boxes)
+    keep = np.empty((n,), dtype=np.uint8)
+
+    def _dptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    lib.pgnn_nms(
+        _dptr(boxes), _dptr(corners), _iptr(classes), _dptr(out_scores),
+        n, ctypes.c_double(threshold), int(merge), int(rescore),
+        _dptr(out_boxes), keep.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        ),
+    )
+    return keep.astype(bool), out_scores, out_boxes

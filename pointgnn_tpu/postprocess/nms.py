@@ -58,6 +58,17 @@ def _greedy_nms(
     if quantize_factor is not None:
         # integer quantization used by the legacy rasterized path
         corners = np.int32(corners * quantize_factor).astype(np.float64)
+    if overlapped_fn is iou.overlapped_boxes_3d:
+        # the native loop implements exactly this overlap geometry
+        # (cpp/graphlib/nms.cpp); pure-Python loop below is the fallback
+        from pointgnn_tpu.graph import _native
+
+        native = _native.greedy_nms_native(
+            bboxes, corners, classes, scores,
+            nms_threshold, merge, rescore,
+        )
+        if native is not None:
+            return native
     n = len(scores)
     keep = np.ones(n, dtype=bool)
     for i in range(n - 1):

@@ -142,3 +142,67 @@ def test_empty_input():
         np.zeros(0, dtype=np.int64), np.zeros((0, 7)), np.zeros(0)
     )
     assert len(cls) == 0 and boxes.shape[0] == 0
+
+
+def _random_boxes(rng, n):
+    boxes = np.stack(
+        [
+            rng.uniform(-20, 20, n),          # x
+            rng.uniform(0.5, 2.5, n),         # y
+            rng.uniform(5, 60, n),            # z
+            rng.uniform(2.5, 5.0, n),         # l
+            rng.uniform(1.2, 2.0, n),         # h
+            rng.uniform(1.4, 2.2, n),         # w
+            rng.uniform(-np.pi, np.pi, n),    # yaw
+        ],
+        axis=1,
+    )
+    # force overlap clusters so merge/rescore paths exercise
+    boxes[n // 2:, :3] = boxes[: n - n // 2, :3] + rng.normal(
+        0, 0.4, (n - n // 2, 3)
+    )
+    return boxes
+
+
+def test_native_nms_parity_all_variants():
+    """C++ greedy NMS (cpp/graphlib/nms.cpp) vs the pure-Python loop:
+    identical keeps, scores, and merged boxes on clustered random boxes
+    for all four reference variants."""
+    from pointgnn_tpu.graph import _native
+
+    if _native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    # a non-default overlapped_fn with identical geometry forces the
+    # pure-Python loop (the native fast path dispatches on identity)
+    python_fn = lambda a, b: iou.overlapped_boxes_3d(a, b)  # noqa: E731
+    for trial in range(5):
+        n = int(rng.integers(30, 120))
+        boxes = _random_boxes(rng, n)
+        scores = rng.uniform(0.2, 1.0, n)
+        classes = rng.integers(1, 3, n).astype(np.int64)
+        for fn in (
+            nms.nms_boxes_3d,
+            nms.nms_boxes_3d_uncertainty,
+            nms.nms_boxes_3d_merge_only,
+            nms.nms_boxes_3d_score_only,
+        ):
+            cn, bn, sn, _ = fn(
+                classes, boxes, scores, overlapped_thres=0.12,
+                appr_factor=100.0, top_k=-1,
+            )
+            cp, bp, sp, _ = fn(
+                classes, boxes, scores, overlapped_thres=0.12,
+                overlapped_fn=python_fn, appr_factor=100.0, top_k=-1,
+            )
+            np.testing.assert_array_equal(cn, cp, err_msg=fn.__name__)
+            np.testing.assert_allclose(
+                bn, bp, atol=1e-12, err_msg=fn.__name__
+            )
+            # rescored scores accumulate in a different order (numpy
+            # pairwise sum vs sequential) — bit parity isn't expected
+            np.testing.assert_allclose(
+                sn, sp, rtol=1e-7, atol=1e-9, err_msg=fn.__name__
+            )
