@@ -71,6 +71,12 @@ class DeviceGraphSpec(NamedTuple):
     # runtime num_neighbors=-1), vs. the per_center_cap approximation of
     # the edge-list path.
     slab_level1: bool = False
+    # level-0 slab mode: raw points are sorted by the level-0 radius
+    # grid and the set-pooling layer runs the same fused kernel
+    # (points → keypoints); keypoints are ordered hierarchically
+    # (level-1 cell major, level-0 cell minor) so both slab levels see
+    # spatially-local center blocks.
+    slab_level0: bool = False
 
 
 def spec_from_config(
@@ -262,33 +268,60 @@ def radius_edges(
     return edges_src, edges_dst
 
 
-def slab_metadata(kp_xyz, kp_mask, level: LevelSpec):
+def grid_cells(xyz, mask, level: LevelSpec, origin=None):
+    """Radius-grid cell id per row (pad rows get ``g*g``); cell size ==
+    the level's search radius so a 3x3 cell neighborhood covers any
+    radius ball.  Returns ``(cell [N] int32, origin [3])``."""
+    g = level.grid_xz
+    r = level.radius
+    if origin is None:
+        origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    cx = jnp.clip(
+        jnp.floor((xyz[:, 0] - origin[0]) / r).astype(jnp.int32),
+        0, g - 1,
+    )
+    cz = jnp.clip(
+        jnp.floor((xyz[:, 2] - origin[2]) / r).astype(jnp.int32),
+        0, g - 1,
+    )
+    return jnp.where(mask, cx * g + cz, g * g).astype(jnp.int32), origin
+
+
+def _cell_offsets(sorted_cell, num_cells):
+    return jnp.searchsorted(
+        sorted_cell, jnp.arange(num_cells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+
+def slab_metadata(kp_xyz, kp_mask, level: LevelSpec, secondary=None):
     """Cell-sort order + per-cell row offsets for slab-mode level 1.
 
     Returns ``(order [K], sorted_cell [K], offsets [g*g+1])`` where
     ``order`` permutes keypoints into cell-major order (padding rows,
     cell == g*g, sort last) and ``offsets[c]:offsets[c+1]`` is cell
-    ``c``'s row range in that order.
+    ``c``'s row range in that order.  ``secondary`` (an int32 key, e.g.
+    the level-0 fine cell) orders rows *within* each cell — the
+    level-0 slab kernel's column windows stay tight when center blocks
+    are fine-cell-local.
     """
-    g = level.grid_xz
-    r = level.radius
-    num_cells = g * g
-    origin = jnp.min(jnp.where(kp_mask[:, None], kp_xyz, jnp.inf), axis=0)
-    cx = jnp.clip(
-        jnp.floor((kp_xyz[:, 0] - origin[0]) / r).astype(jnp.int32),
-        0, g - 1,
-    )
-    cz = jnp.clip(
-        jnp.floor((kp_xyz[:, 2] - origin[2]) / r).astype(jnp.int32),
-        0, g - 1,
-    )
-    cell = jnp.where(kp_mask, cx * g + cz, num_cells)
-    order = jnp.argsort(cell)  # stable
-    sorted_cell = cell[order].astype(jnp.int32)
-    offsets = jnp.searchsorted(
-        sorted_cell, jnp.arange(num_cells + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    cell, _ = grid_cells(kp_xyz, kp_mask, level)
+    if secondary is None:
+        order = jnp.argsort(cell)  # stable
+    else:
+        o1 = jnp.argsort(secondary)  # stable fine sort...
+        order = o1[jnp.argsort(cell[o1], stable=True)]  # ...then coarse
+    sorted_cell = cell[order]
+    offsets = _cell_offsets(sorted_cell, level.grid_xz ** 2)
     return order, sorted_cell, offsets
+
+
+def inverse_permutation(order):
+    n = order.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
 
 
 def build_padded_graph(
@@ -304,19 +337,45 @@ def build_padded_graph(
     )
     kp_xyz = jnp.where(kp_mask[:, None], points_xyz[kp_idx], 0.0)
     slab_offsets = slab_center_cell = None
+    slab0_offsets = slab0_center_cell = None
+    kp_fine = None
+    if spec.slab_level0:
+        # sort raw points into level-0 cell-major order so the level-0
+        # slab kernel can DMA contiguous per-cell candidate ranges;
+        # kp_idx is remapped through the inverse permutation
+        p_cell, p_origin = grid_cells(points_xyz, points_mask, spec.level0)
+        p_order = jnp.argsort(p_cell)
+        points_xyz = points_xyz[p_order]
+        features = features[p_order]
+        points_mask = points_mask[p_order]
+        slab0_offsets = _cell_offsets(
+            p_cell[p_order], spec.level0.grid_xz ** 2
+        )
+        kp_idx = inverse_permutation(p_order)[kp_idx]
+        # keypoint (= center) cells on the POINT grid, same origin
+        kp_fine, _ = grid_cells(kp_xyz, kp_mask, spec.level0, p_origin)
     if spec.slab_level1:
-        # re-order keypoints into level-1 cell-major order so the slab
-        # kernel can DMA contiguous per-cell row ranges; all downstream
-        # per-vertex arrays simply follow this order
+        # re-order keypoints into level-1 cell-major order (level-0
+        # fine cell minor, keeping level-0 center blocks local) so the
+        # slab kernel can DMA contiguous per-cell row ranges; all
+        # downstream per-vertex arrays simply follow this order
         order, slab_center_cell, slab_offsets = slab_metadata(
-            kp_xyz, kp_mask, spec.level1
+            kp_xyz, kp_mask, spec.level1, secondary=kp_fine
         )
         kp_idx = kp_idx[order]
         kp_mask = kp_mask[order]
         kp_xyz = kp_xyz[order]
-    e0_src, e0_dst = radius_edges(
-        points_xyz, points_mask, kp_xyz, kp_mask, spec.level0
-    )
+        if kp_fine is not None:
+            slab0_center_cell = kp_fine[order]
+    elif kp_fine is not None:
+        slab0_center_cell = kp_fine
+    if spec.slab_level0:
+        e0_src = jnp.zeros((1,), jnp.int32)
+        e0_dst = jnp.zeros((1,), jnp.int32)
+    else:
+        e0_src, e0_dst = radius_edges(
+            points_xyz, points_mask, kp_xyz, kp_mask, spec.level0
+        )
     if spec.slab_level1:
         e1_src = jnp.zeros((1,), jnp.int32)
         e1_dst = jnp.zeros((1,), jnp.int32)
@@ -346,6 +405,8 @@ def build_padded_graph(
         valid_boxes=jnp.zeros((k,), jnp.float32),
         slab_offsets=slab_offsets,
         slab_center_cell=slab_center_cell,
+        slab0_offsets=slab0_offsets,
+        slab0_center_cell=slab0_center_cell,
     )
 
 

@@ -95,6 +95,10 @@ class PaddedGraph(NamedTuple):
     # row offsets + per-vertex cell ids replace the level-1 edge list
     slab_offsets: Optional[np.ndarray] = None     # [g*g+1] int32
     slab_center_cell: Optional[np.ndarray] = None  # [K1] int32
+    # slab-mode level-0: raw points are level-0-cell-sorted; offsets
+    # index point rows, center cells are the keypoints' level-0 cells
+    slab0_offsets: Optional[np.ndarray] = None     # [g0*g0+1] int32
+    slab0_center_cell: Optional[np.ndarray] = None  # [K1] int32
 
     @property
     def num_levels(self) -> int:

@@ -152,12 +152,18 @@ class InferencePipeline:
             # edge list): the production TPU path
             slab = self.pallas_tail
         self.slab = bool(slab) and on_device_graph
-        slab_level1 = None
+        slab_level1 = slab_level0 = None
         if self.slab:
-            self.device_spec = self.device_spec._replace(slab_level1=True)
+            self.device_spec = self.device_spec._replace(
+                slab_level1=True, slab_level0=True
+            )
             slab_level1 = {
                 "grid_g": self.device_spec.level1.grid_xz,
                 "radius": self.device_spec.level1.radius,
+            }
+            slab_level0 = {
+                "grid_g": self.device_spec.level0.grid_xz,
+                "radius": self.device_spec.level0.radius,
             }
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
@@ -169,6 +175,7 @@ class InferencePipeline:
             edge_sentinel="src" if on_device_graph else "dst",
             pallas_tail=self.pallas_tail,
             slab_level1=slab_level1,
+            slab_level0=slab_level0,
             **config["model_kwargs"],
         )
         self.input_features = config["input_features"]

@@ -52,6 +52,7 @@ class PointGNN:
         edge_sentinel: str = "dst",
         pallas_tail: bool = False,
         slab_level1: Optional[dict] = None,
+        slab_level0: Optional[dict] = None,
     ):
         assert mode in ("train", "eval", "test")
         self.num_classes = num_classes
@@ -83,11 +84,13 @@ class PointGNN:
         # fused Pallas inference tail over the blocked src-sentinel
         # layout (nn/pallas_kernels.edge_tail_max); inference only
         self.pallas_tail = pallas_tail and mode != "train"
-        # slab mode for level-1 GNN layers: static {"grid_g", "radius"}
-        # matching the graph's slab metadata (device_builder); the
-        # layers then run the fused radius-search kernel instead of
-        # consuming an edge list.  Inference only.
+        # slab mode for level-1 GNN layers / the level-0 set-pooling
+        # layer: static {"grid_g", "radius"} matching the graph's slab
+        # metadata (device_builder); the layers then run the fused
+        # radius-search kernel instead of consuming an edge list.
+        # Inference only.
         self.slab_level1 = slab_level1 if mode != "train" else None
+        self.slab_level0 = slab_level0 if mode != "train" else None
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -164,6 +167,18 @@ class PointGNN:
             layer = self._layers[i]
             p = params[cfg["scope"]]
             if isinstance(layer, PointSetPooling):
+                if (
+                    self.slab_level0 is not None
+                    and g == 0
+                    and graph.slab0_offsets is not None
+                ):
+                    kw["slab"] = dict(
+                        self.slab_level0,
+                        offsets=graph.slab0_offsets,
+                        center_cell=graph.slab0_center_cell,
+                    )
+                    kw["point_mask"] = graph.vertex_mask[g]
+
                 def run(p, features, layer=layer, g=g, kw=kw):
                     return layer.apply(
                         p,

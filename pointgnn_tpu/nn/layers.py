@@ -90,6 +90,7 @@ class PointSetPooling:
         edges_src,          # [E] -> points
         edges_dst,          # [E] -> centers (sentinel K for padding)
         center_mask=None,   # [K]
+        point_mask=None,    # [P] (slab mode only)
         edge_mask=None,     # unused; sentinel routing handles padding
         point_MLP_depth_list=None,
         point_MLP_normalization_type="fused_BN_center",
@@ -103,9 +104,86 @@ class PointSetPooling:
         edges_sorted=True,
         edge_sentinel="dst",
         pallas_tail=False,
+        slab=None,
     ):
         num_centers = center_xyz.shape[0]
         num_src = point_features.shape[0]
+
+        if (
+            slab is not None
+            and self._agg_name == "max"
+            and point_MLP_normalization_type == "NONE"
+            and point_MLP_activation_type == "ReLU"
+        ):
+            # Slab mode: no level-0 edge list — the fused kernel
+            # (nn/pallas_kernels.slab_edge_max) performs the exact
+            # uncapped radius search over cell-sorted point rows, the
+            # point MLP, and the per-keypoint max.  Same first-layer
+            # fold as the pallas_tail path below.
+            pp = params["point_mlp"]
+            w0, b0 = pp[0]["w"], pp[0]["b"]
+            c = point_features.shape[1]
+            cd = compute_dtype or point_features.dtype
+            w0b = w0[c:]
+            # round tables through the compute dtype so slab numerics
+            # match the edge-list path bit-for-bit (bf16 re-round in
+            # the kernel is then idempotent)
+            table_a = (
+                point_features @ w0[:c]
+                + point_xyz.astype(w0.dtype) @ w0b + b0
+            ).astype(cd).astype(jnp.float32)
+            table_b = (
+                (center_xyz.astype(w0.dtype) @ w0b)
+                .astype(cd).astype(jnp.float32)
+            )
+            from pointgnn_tpu.nn import pallas_kernels as pk
+
+            p_maskb = (
+                point_mask.astype(bool)
+                if point_mask is not None
+                else jnp.ones((num_src,), bool)
+            )
+            c_maskb = (
+                center_mask.astype(bool)
+                if center_mask is not None
+                else jnp.ones((num_centers,), bool)
+            )
+            src4 = jnp.concatenate(
+                [
+                    point_xyz.astype(jnp.float32),
+                    jnp.zeros((num_src, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            src4 = jnp.where(p_maskb[:, None], src4, 1e6)
+            ctr4 = jnp.concatenate(
+                [
+                    center_xyz.astype(jnp.float32),
+                    jnp.zeros((num_centers, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            ctr4 = jnp.where(c_maskb[:, None], ctr4, -1e6)
+            tail_weights = []
+            for layer in pp[1:]:
+                tail_weights += [layer["w"], layer["b"]]
+            agg = pk.slab_edge_max(
+                table_a, src4, table_b, ctr4,
+                slab["offsets"], slab["center_cell"],
+                tuple(tail_weights),
+                grid_g=slab["grid_g"], radius=slab["radius"],
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            agg = agg.astype(point_features.dtype)
+            out = mlp.apply_mlp(
+                params["output_mlp"], agg, is_logits=False,
+                normalization_type=output_MLP_normalization_type,
+                activation_type=output_MLP_activation_type,
+                mask=center_mask, compute_dtype=compute_dtype,
+            )
+            if center_mask is not None:
+                out = out * center_mask[:, None].astype(out.dtype)
+            return out
 
         if (
             pallas_tail

@@ -291,13 +291,21 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     row = i % 8  # cells arrive as (8, bk) SMEM blocks (sublane rule)
     r2 = radius * radius
 
-    cmin = ccell_ref[row, 0]
-
-    def max_body(j, cm):
+    # min/max over the block's VALID cells — center cells need not be
+    # sorted within a block (the level-0 hierarchical order resets the
+    # fine cell at every coarse-cell boundary)
+    def minmax_body(j, carry):
+        cm, cM = carry
         c = ccell_ref[row, j]
-        return jnp.where(c < ncells, jnp.maximum(cm, c), cm)
+        valid = c < ncells
+        return (
+            jnp.where(valid, jnp.minimum(cm, c), cm),
+            jnp.where(valid, jnp.maximum(cM, c), cM),
+        )
 
-    cmax = jax.lax.fori_loop(0, bk, max_body, jnp.int32(-1))
+    cmin, cmax = jax.lax.fori_loop(
+        0, bk, minmax_body, (jnp.int32(2 ** 30), jnp.int32(-1))
+    )
 
     # per-program precompute: B rows repeated over each center's slots,
     # and the squared-norm / coordinate views of the centers
@@ -405,14 +413,17 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     ),
 )
 def slab_edge_max(
-    table_a,        # [K, H] float32 vertex table A (cell-sorted order)
-    src_xyz,        # [K, 4] float32, xyz + pad lane; invalid rows +1e6
-    table_b,        # [K, H] float32 vertex table B (same order)
+    table_a,        # [P, H] float32 candidate table A (cell-sorted order)
+    src_xyz,        # [P, 4] float32, xyz + pad lane; invalid rows +1e6
+    table_b,        # [K, H] float32 per-center table B
     ctr_xyz,        # [K, 4] float32 center coords; invalid rows -1e6
     #                 (distinct sentinels so pad-center x pad-source
     #                  pairs cannot pass the distance test)
-    offsets,        # [grid_g*grid_g + 1] int32 cell row offsets
-    center_cell,    # [K] int32 cell id per center (sorted; pad = ncells)
+    offsets,        # [grid_g*grid_g + 1] int32 cell row offsets into P
+    center_cell,    # [K] int32 cell id per center (pad = ncells); NOT
+    #                 required sorted — any spatially-local blocking
+    #                 works (the column window spans [min, max] cells
+    #                 per block, and overfetch is distance-filtered)
     weights: Tuple,  # flat (w1, b1, ...) remaining edge-MLP layers
     grid_g: int,
     radius: float,
@@ -422,9 +433,12 @@ def slab_edge_max(
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
 
-    Returns [K, H_out] float32.  ``table_a``/``src_xyz`` rows and
-    ``offsets`` must follow the cell-sorted vertex order."""
-    k, h = table_a.shape
+    Candidates (``table_a``/``src_xyz``, P rows in ``offsets``' cell
+    order) and centers (``table_b``/``ctr_xyz``, K rows) may be
+    different point sets — the GNN layers use the same keypoints for
+    both, set pooling pools raw points into keypoints.  Returns
+    [K, H_out] float32."""
+    k, h = table_b.shape[0], table_a.shape[1]
     bk = block_centers
     while k % bk != 0 or (k // bk) % 8 != 0:
         bk //= 2
