@@ -565,6 +565,17 @@ class InferencePipeline:
         return pred_labels
 
     # ------------------------------------------------------------------
+    def _write_kitti_txt(self, dataset, frame_idx, output_dir, pred_labels):
+        filename = os.path.join(
+            output_dir, "data", dataset.get_filename(frame_idx) + ".txt"
+        )
+        os.makedirs(os.path.dirname(filename), exist_ok=True)
+        with open(filename, "w") as f:
+            for pred in pred_labels:
+                f.write(" ".join(str(v) for v in pred) + " \n")
+            f.write("\n")
+
+    # ------------------------------------------------------------------
     def run_dataset(
         self,
         dataset,
@@ -577,31 +588,65 @@ class InferencePipeline:
         """Full loop over a KittiDataset; writes ``<output_dir>/data/*.txt``
         (run.py:203-540).  Returns per-frame average stage times.
         ``visualization_level >= 1`` additionally writes detection
-        overlays and BEV plots to ``<output_dir>/vis``."""
+        overlays and BEV plots to ``<output_dir>/vis``.
+
+        With on-device graphs the loop runs through :meth:`stream`
+        (batched transfers, prefetch pipeline), so the device never
+        waits on the host; the sequential path remains for host-built
+        graphs and visual debugging."""
         n = dataset.num_files if num_frames < 0 else num_frames
         rng = np.random.default_rng(0)
-        for frame_idx in range(n):
+
+        def fetch(frame_idx):
             start = time.time()
             points = dataset.get_cam_points_in_image_with_rgb(
                 frame_idx, self.config.get("downsample_by_voxel_size")
             )
             calib = dataset.get_calib(frame_idx)
-            t_in = time.time()
             self.time_dict["fetch input"] = (
-                self.time_dict.get("fetch input", 0) + t_in - start
+                self.time_dict.get("fetch input", 0) + time.time() - start
             )
+            return points, calib
+
+        if self.on_device_graph and visualization_level == 0:
+            calibs = []
+
+            def frames_iter():
+                for i in range(n):
+                    points, calib = fetch(i)
+                    calibs.append(calib)
+                    yield points
+
+            t_all = time.time()
+            for frame_idx, (cls, boxes, scores, aux) in enumerate(
+                self.stream(frames_iter())
+            ):
+                pred_labels = self.detections_to_kitti(
+                    cls, boxes, scores, calibs[frame_idx], aux
+                )
+                self._write_kitti_txt(
+                    dataset, frame_idx, output_dir, pred_labels
+                )
+            self.time_dict["total"] = (
+                self.time_dict.get("total", 0) + time.time() - t_all
+            )
+            averages = {
+                k: v / max(self.frames_done, 1)
+                for k, v in self.time_dict.items()
+            }
+            if verbose:
+                for k, v in averages.items():
+                    print("%s: %.1f ms/frame" % (k, 1e3 * v))
+            return averages
+
+        for frame_idx in range(n):
+            start = time.time()
+            points, calib = fetch(frame_idx)
             cls, boxes, scores, aux = self.run_frame(points, rng)
             pred_labels = self.detections_to_kitti(
                 cls, boxes, scores, calib, aux
             )
-            filename = os.path.join(
-                output_dir, "data", dataset.get_filename(frame_idx) + ".txt"
-            )
-            os.makedirs(os.path.dirname(filename), exist_ok=True)
-            with open(filename, "w") as f:
-                for pred in pred_labels:
-                    f.write(" ".join(str(v) for v in pred) + " \n")
-                f.write("\n")
+            self._write_kitti_txt(dataset, frame_idx, output_dir, pred_labels)
             if visualization_level >= 1:
                 from pointgnn_tpu.utils import vis
 

@@ -472,8 +472,8 @@ def slab_edge_max(
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args
     ]
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),                     # table_a
-        pl.BlockSpec(memory_space=pltpu.ANY),                     # src_xyz
+        pl.BlockSpec(memory_space=pl.ANY),                        # table_a
+        pl.BlockSpec(memory_space=pl.ANY),                        # src_xyz
     ]
     kernel = functools.partial(
         _slab_kernel,

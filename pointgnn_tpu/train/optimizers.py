@@ -67,8 +67,15 @@ def build_from_train_config(train_config: dict):
         lr,
         train_config.get("optimizer_kwargs"),
     )
-    if train_config.get("pseudo_batch_factor", 0) > 1:
-        # gradient accumulation ("pseudo batch", train.py:559-575)
+    if (
+        train_config.get(
+            "is_pseudo_batch", "pseudo_batch_factor" in train_config
+        )
+        and train_config.get("pseudo_batch_factor", 0) > 1
+    ):
+        # gradient accumulation ("pseudo batch", train.py:559-575);
+        # like the reference, an explicit is_pseudo_batch=false wins
+        # over a configured factor
         opt = optax.MultiSteps(
             opt, every_k_schedule=train_config["pseudo_batch_factor"]
         )

@@ -158,3 +158,75 @@ def test_stream_matches_run_frame():
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_allclose(b1, b2, atol=1e-6)
         np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_run_dataset_stream_matches_sequential(tmp_path):
+    """run_dataset's streamed path (on-device graphs) writes the same
+    KITTI text files as the sequential per-frame path."""
+    import subprocess
+    import sys
+
+    from pointgnn_tpu.data.kitti import KittiDataset
+    from pointgnn_tpu.graph import device_builder as db
+
+    root = str(tmp_path / "kitti")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_synthetic_kitti.py"),
+            root, "3",
+        ],
+        check=True,
+    )
+    dataset = KittiDataset(
+        os.path.join(root, "image/training/image_2"),
+        os.path.join(root, "velodyne/training/velodyne"),
+        os.path.join(root, "calib/training/calib"),
+        os.path.join(root, "labels/training/label_2"),
+        num_classes=4,
+    )
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=8192, num_keypoints=2048,
+        per_center_caps=(16, 128), cell_caps=(32, 64),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec, seed=4,
+        pallas_tail=False, slab=False,
+    )
+    out_stream = str(tmp_path / "out_stream")
+    pipe.run_dataset(dataset, out_stream, verbose=False)
+
+    out_seq = str(tmp_path / "out_seq")
+    rng = np.random.default_rng(0)
+    for i in range(dataset.num_files):
+        points = dataset.get_cam_points_in_image_with_rgb(
+            i, cfg.get("downsample_by_voxel_size")
+        )
+        calib = dataset.get_calib(i)
+        cls, boxes, scores, aux = pipe.run_frame(points, rng)
+        pred = pipe.detections_to_kitti(cls, boxes, scores, calib, aux)
+        pipe._write_kitti_txt(dataset, i, out_seq, pred)
+    # the batched (lax.map) and single-frame programs compile
+    # separately, so values match only to float noise — compare fields
+    for i in range(dataset.num_files):
+        name = dataset.get_filename(i) + ".txt"
+        la = [
+            ln.split() for ln in
+            open(os.path.join(out_stream, "data", name)).read().splitlines()
+            if ln.strip()
+        ]
+        lb = [
+            ln.split() for ln in
+            open(os.path.join(out_seq, "data", name)).read().splitlines()
+            if ln.strip()
+        ]
+        assert len(la) == len(lb), name
+        for ra, rb in zip(la, lb):
+            assert ra[0] == rb[0]
+            np.testing.assert_allclose(
+                np.array(ra[1:], dtype=np.float64),
+                np.array(rb[1:], dtype=np.float64),
+                rtol=1e-4, atol=1e-4, err_msg=name,
+            )
