@@ -151,20 +151,25 @@ class InferencePipeline:
             # slab mode (fused radius search + edge MLP, no level-1
             # edge list): the production TPU path
             slab = self.pallas_tail
-        self.slab = bool(slab) and on_device_graph
+        # slab accepts True (both levels), "l1" (level-1 only, level-0
+        # stays on the capped edge list), or False
+        if not on_device_graph:
+            slab = False
+        self.slab = "l1" if slab == "l1" else bool(slab)
         slab_level1 = slab_level0 = None
         if self.slab:
             self.device_spec = self.device_spec._replace(
-                slab_level1=True, slab_level0=True
+                slab_level1=True, slab_level0=(self.slab != "l1")
             )
             slab_level1 = {
                 "grid_g": self.device_spec.level1.grid_xz,
                 "radius": self.device_spec.level1.radius,
             }
-            slab_level0 = {
-                "grid_g": self.device_spec.level0.grid_xz,
-                "radius": self.device_spec.level0.radius,
-            }
+            if self.device_spec.slab_level0:
+                slab_level0 = {
+                    "grid_g": self.device_spec.level0.grid_xz,
+                    "radius": self.device_spec.level0.radius,
+                }
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,
             box_encoding_len=self.enc_len,
