@@ -202,6 +202,12 @@ class Trainer:
             if max_steps is not None
             else self.train_config.get("max_steps", -1)
         )
+        # optional jax.profiler trace of a few steady-state steps
+        # (SURVEY §5; the reference only had wall-clock stage timers)
+        profile_dir = self.train_config.get("profile_dir")
+        profile_start = self.train_config.get("profile_start_step", 10)
+        profile_steps = self.train_config.get("profile_steps", 5)
+        profiling = False
         start_epoch = (self.global_step * self.batch_size) // max(
             self.num_frames, 1
         )
@@ -213,10 +219,21 @@ class Trainer:
             for batch_idx in range(
                 0, self.num_frames - self.batch_size + 1, self.batch_size
             ):
+                if profile_dir and not profiling and (
+                    self.global_step >= profile_start
+                ):
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 aux = self.train_batch(
                     order[batch_idx:batch_idx + self.batch_size]
                 )
                 host_aux = jax.device_get(aux)
+                if profiling and self.global_step >= (
+                    profile_start + profile_steps
+                ):
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None  # one trace per run
                 # NaN guard (the reference asserts in-graph,
                 # models.py:305-306); device_get already synchronized
                 total = float(np.asarray(host_aux["total_loss"]))
@@ -227,6 +244,9 @@ class Trainer:
                     )
                 self.metrics.update(host_aux)
                 if 0 < max_steps <= self.global_step:
+                    if profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
                     print("save checkpoint at step %d to %s"
                           % (self.global_step, self.train_dir))
                     self.save()
@@ -250,6 +270,8 @@ class Trainer:
                 print("save checkpoint at epoch %d to %s"
                       % (epoch_idx, self.train_dir))
                 self.save()
+        if profiling:
+            jax.profiler.stop_trace()
         self.save()
 
     def close(self):

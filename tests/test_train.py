@@ -238,3 +238,42 @@ def test_trainer_single_device(fetch_spec, tmp_path):
         assert np.isfinite(float(np.asarray(aux["total_loss"])))
     finally:
         trainer.close()
+
+
+def test_trainer_profiler_trace(fetch_spec, tmp_path):
+    """profile_dir in train_config writes a jax.profiler trace of a few
+    steady-state steps without disturbing training."""
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    profile_dir = str(tmp_path / "profile")
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir"),
+            "batch_size": 4,
+            "NUM_GPU": 2,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 4,
+            "max_steps": -1,
+            "save_every_epoch": 10,
+            "initial_lr": 0.01,
+            "profile_dir": profile_dir,
+            "profile_start_step": 1,
+            "profile_steps": 1,
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+        capacity=SMALL_CAP,
+    )
+    try:
+        trainer.train()
+        assert trainer.global_step == 4
+        found = []
+        for root, _dirs, files in os.walk(profile_dir):
+            found += [f for f in files if f.endswith((".pb", ".json.gz"))]
+        assert found, "no profiler trace written under profile_dir"
+    finally:
+        trainer.close()
