@@ -279,7 +279,7 @@ class InferencePipeline:
                 flat_probs,
                 -1.0,
             )
-            topv, topi = jax.lax.top_k(score, max_hyp)
+            topv, topi = jax.lax.top_k(score, min(max_hyp, score.shape[0]))
             sel_cls = cls_ids[topi]
             sel_xyz = kp_xyz[topi // num_classes]
             sel_enc = box_enc.reshape(-1, model.box_encoding_len)[topi]
@@ -408,7 +408,12 @@ class InferencePipeline:
 
     # ------------------------------------------------------------------
     def stream(
-        self, frames, depth: int = 2, raw: bool = False, batch: int = 4
+        self,
+        frames,
+        depth: int = 2,
+        raw: bool = False,
+        batch: int = 4,
+        mesh=None,
     ):
         """Pipelined inference over an iterable of :class:`Points`.
 
@@ -423,6 +428,12 @@ class InferencePipeline:
         amortizing the put to ~33/batch ms/frame.  A background thread
         runs the packing + puts ``depth`` batches ahead so the
         remaining latency overlaps device compute.
+
+        ``mesh`` (a 1-D ``jax.sharding.Mesh`` with axis ``"data"``)
+        scales serving across chips: the batch axis is sharded over the
+        mesh with ``shard_map`` — each device runs the fused per-frame
+        program on its ``batch / mesh.size`` frames, with no
+        cross-device communication (pure DP serving).
         """
         assert self.on_device_graph, "stream() needs on_device_graph"
         import collections
@@ -433,14 +444,38 @@ class InferencePipeline:
         from pointgnn_tpu.graph import device_builder as db
 
         batch = max(1, int(batch))
-        if batch not in self._batch_fns:
+        key = (batch, id(mesh) if mesh is not None else None)
+        if key not in self._batch_fns:
             base = self._build_device_fn()
-            self._batch_fns[batch] = jax.jit(
-                lambda params, stacked: jax.lax.map(
-                    lambda p: base(params, p), stacked
+
+            def run_shard(params, stacked):
+                return jax.lax.map(lambda p: base(params, p), stacked)
+
+            if mesh is None:
+                self._batch_fns[key] = jax.jit(run_shard)
+            else:
+                assert batch % mesh.size == 0, (
+                    "batch %d must divide over the %d-device mesh"
+                    % (batch, mesh.size)
                 )
-            )
-        batch_fn = self._batch_fns[batch]
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                axis = mesh.axis_names[0]
+                sharded = jax.shard_map(
+                    run_shard,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=P(axis),
+                )
+                self._batch_fns[key] = jax.jit(
+                    sharded,
+                    in_shardings=(
+                        NamedSharding(mesh, P()),
+                        NamedSharding(mesh, P(axis)),
+                    ),
+                )
+        batch_fn = self._batch_fns[key]
 
         def put(frame_list):
             packed = np.stack(
@@ -453,6 +488,13 @@ class InferencePipeline:
                     for p in frame_list
                 ]
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                return jax.device_put(
+                    packed, NamedSharding(mesh, P(mesh.axis_names[0]))
+                )
             return jax.device_put(packed)
 
         it = iter(frames)

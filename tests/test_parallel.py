@@ -146,3 +146,39 @@ def test_lr_schedule_staircase():
     assert float(lr(99)) == pytest.approx(0.125)
     assert float(lr(100)) == pytest.approx(0.0125)
     assert float(lr(250)) == pytest.approx(0.00125)
+
+
+def test_stream_sharded_over_mesh():
+    """stream(mesh=...) shards the serving batch over the device mesh
+    (pure-DP inference) and yields the same results as single-device
+    streaming."""
+    import numpy as np
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.core.points import Points
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import InferencePipeline
+    from pointgnn_tpu.parallel import mesh as pmesh
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=512,
+        per_center_caps=(16, 64), cell_caps=(32, 64),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, seed=7, slab=False, pallas_tail=False,
+    )
+    frames = []
+    for i in range(8):
+        pts, _ = synthetic_lidar_frame(seed=i)
+        frames.append(Points(xyz=pts.xyz[:1500], attr=pts.attr[:1500]))
+    mesh = pmesh.make_mesh(4)
+    single = list(pipe.stream(frames, batch=4))
+    sharded = list(pipe.stream(frames, batch=4, mesh=mesh))
+    assert len(single) == len(sharded) == len(frames)
+    for (c1, b1, s1, _), (c2, b2, s2, _) in zip(single, sharded):
+        assert len(c1) == len(c2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-4)
