@@ -46,6 +46,13 @@ class LevelSpec(NamedTuple):
     cell_cap: int        # max candidates stored per grid cell (M)
     per_center_cap: int  # max neighbors kept per center (edge budget/K)
     grid_xz: int = 256   # dense 2D grid extent (cells per side)
+    # slab-kernel grid: cell size may exceed the radius (3x3 coverage
+    # only needs cell >= radius; larger cells mean distance-filtered
+    # overfetch) so the [slab_grid^2+1] offsets table fits SMEM (~1MB
+    # on v5e — radius 0.4 at 260m extent would need a 650^2 table).
+    # 0 means "use radius / grid_xz".
+    slab_cell: float = 0.0
+    slab_grid: int = 0
     # compact candidates with jax.lax.approx_max_k (the TPU PartialReduce
     # instruction) instead of exact top_k: several times faster at these
     # widths, at the cost of dropping ~(1-recall) of the in-radius
@@ -108,8 +115,12 @@ def spec_from_config(
     def level(i, cell_cap, per_center_cap):
         r = float(levels[i]["graph_gen_kwargs"]["radius"])
         grid = int(np.clip(int(np.ceil(world_extent / r)), 32, 512))
+        # slab grid: bound the offsets table to 256^2 cells (SMEM)
+        slab_cell = max(r, world_extent / 256.0)
+        slab_grid = int(np.ceil(world_extent / slab_cell))
         return LevelSpec(
             r, cell_cap, per_center_cap, grid_xz=grid,
+            slab_cell=slab_cell, slab_grid=slab_grid,
             approx_topk=approx_topk,
         )
 
@@ -268,12 +279,18 @@ def radius_edges(
     return edges_src, edges_dst
 
 
+def slab_grid_of(level: LevelSpec):
+    """(cell_size, grid) of the level's slab grid; cell >= radius so a
+    3x3 cell neighborhood covers any radius ball."""
+    cell = level.slab_cell or level.radius
+    grid = level.slab_grid or level.grid_xz
+    return cell, grid
+
+
 def grid_cells(xyz, mask, level: LevelSpec, origin=None):
-    """Radius-grid cell id per row (pad rows get ``g*g``); cell size ==
-    the level's search radius so a 3x3 cell neighborhood covers any
-    radius ball.  Returns ``(cell [N] int32, origin [3])``."""
-    g = level.grid_xz
-    r = level.radius
+    """Slab-grid cell id per row (pad rows get ``g*g``).
+    Returns ``(cell [N] int32, origin [3])``."""
+    r, g = slab_grid_of(level)
     if origin is None:
         origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
     cx = jnp.clip(
@@ -311,7 +328,7 @@ def slab_metadata(kp_xyz, kp_mask, level: LevelSpec, secondary=None):
         o1 = jnp.argsort(secondary)  # stable fine sort...
         order = o1[jnp.argsort(cell[o1], stable=True)]  # ...then coarse
     sorted_cell = cell[order]
-    offsets = _cell_offsets(sorted_cell, level.grid_xz ** 2)
+    offsets = _cell_offsets(sorted_cell, slab_grid_of(level)[1] ** 2)
     return order, sorted_cell, offsets
 
 
@@ -349,7 +366,7 @@ def build_padded_graph(
         features = features[p_order]
         points_mask = points_mask[p_order]
         slab0_offsets = _cell_offsets(
-            p_cell[p_order], spec.level0.grid_xz ** 2
+            p_cell[p_order], slab_grid_of(spec.level0)[1] ** 2
         )
         kp_idx = inverse_permutation(p_order)[kp_idx]
         # keypoint (= center) cells on the POINT grid, same origin

@@ -161,13 +161,15 @@ class InferencePipeline:
             self.device_spec = self.device_spec._replace(
                 slab_level1=True, slab_level0=(self.slab != "l1")
             )
+            from pointgnn_tpu.graph.device_builder import slab_grid_of
+
             slab_level1 = {
-                "grid_g": self.device_spec.level1.grid_xz,
+                "grid_g": slab_grid_of(self.device_spec.level1)[1],
                 "radius": self.device_spec.level1.radius,
             }
             if self.device_spec.slab_level0:
                 slab_level0 = {
-                    "grid_g": self.device_spec.level0.grid_xz,
+                    "grid_g": slab_grid_of(self.device_spec.level0)[1],
                     "radius": self.device_spec.level0.radius,
                 }
         self.model = get_model(config["model_name"])(

@@ -205,3 +205,33 @@ def test_make_splits_cli(kitti_root, tmp_path):
     assert r.returncode == 0, r.stderr
     with open(out2) as f:
         assert [line.strip() for line in f if line.strip()] == [ids[0]]
+
+
+def test_synthetic_kitti_ped_cyl_classes(tmp_path):
+    """The generator emits Pedestrian/Cyclist objects and the 6-class
+    label assignment finds foreground points on them."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_kitti import main as make_kitti
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.train.pipeline import DatasetSpec, FetchSpec, build_fetch
+
+    root = str(tmp_path / "kitti")
+    make_kitti(root, 2, classes=("Pedestrian", "Cyclist"))
+    config = configs.model_config("Pedestrian_and_Cyclist", T=1)
+    tc = configs.train_config("Pedestrian_and_Cyclist")
+    tc["data_aug_configs"] = []
+    spec = DatasetSpec.from_kitti_root(
+        root, num_classes=config["num_classes"]
+    )
+    fetch = build_fetch(FetchSpec(spec, config, tc))
+    fd = fetch(0, 1)
+    labels = np.asarray(fd.cls_labels).ravel()
+    # classes: 0 bg, 1/2 pedestrian h/v, 3/4 cyclist h/v, 5 DontCare
+    hist = np.bincount(labels, minlength=6)
+    assert hist[1] + hist[2] > 0, "no pedestrian points labeled"
+    assert hist[3] + hist[4] > 0, "no cyclist points labeled"

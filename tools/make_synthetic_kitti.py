@@ -25,31 +25,42 @@ Tr_velo_to_cam: 6.927964000000e-03 -9.999722000000e-01 -2.757829000000e-03 -2.45
 """
 
 
-def make_frame(rng, n_ground=12000, cars=()):
-    """Velodyne-frame points: ground plane + boxes of car-like clusters."""
+# (l, h, w, points-per-cluster) per KITTI class; ped/cyc use the
+# dataset's typical dimensions (models/box_encoding.py:210-229 medians)
+OBJECT_DIMS = {
+    "Car": (4.0, 1.60, 1.80, 400),
+    "Pedestrian": (0.80, 1.75, 0.60, 140),
+    "Cyclist": (1.76, 1.73, 0.60, 180),
+}
+
+
+def make_frame(rng, n_ground=12000, objects=()):
+    """Velodyne-frame points: ground plane + per-class object clusters.
+
+    ``objects`` is a list of ``(class_name, x_velo, y_velo)``."""
     pts = np.zeros((n_ground, 4), dtype=np.float32)
     pts[:, 0] = rng.uniform(3, 70, n_ground)
     pts[:, 1] = rng.uniform(-25, 25, n_ground)
     pts[:, 2] = rng.uniform(-1.75, -1.55, n_ground)  # ground
     pts[:, 3] = rng.uniform(0, 1, n_ground)
     clusters = [pts]
-    for (vx, vy) in cars:
-        m = 400
+    for (cls, vx, vy) in objects:
+        l, h, w, m = OBJECT_DIMS[cls]
         c = np.zeros((m, 4), dtype=np.float32)
-        c[:, 0] = rng.uniform(vx - 2.0, vx + 2.0, m)
-        c[:, 1] = rng.uniform(vy - 0.9, vy + 0.9, m)
-        c[:, 2] = rng.uniform(-1.6, -0.1, m)
+        c[:, 0] = rng.uniform(vx - l / 2, vx + l / 2, m)
+        c[:, 1] = rng.uniform(vy - w / 2, vy + w / 2, m)
+        c[:, 2] = rng.uniform(-1.6, -1.6 + h - 0.05, m)
         c[:, 3] = rng.uniform(0, 1, m)
         clusters.append(c)
     return np.concatenate(clusters, axis=0)
 
 
-def car_label_line(x_velo, y_velo, yaw=0.05):
-    """A car label in camera coords for a cluster at velo (x, y), with
-    the 2D bbox computed by projecting the 3D box through P2."""
+def label_line(cls, x_velo, y_velo, yaw=0.05):
+    """An object label in camera coords for a cluster at velo (x, y),
+    with the 2D bbox computed by projecting the 3D box through P2."""
     # velo (x fwd, y left, z up) ~ cam (z fwd, x right, y down)
     x3d, y3d, z3d = -y_velo, 1.65, x_velo
-    l, h, w = 4.0, 1.60, 1.80
+    l, h, w = OBJECT_DIMS[cls][:3]
     # project the 8 corners with the P2 intrinsics (R0/Tr are near
     # identity in camera coords, so P2 alone is accurate enough here)
     c, s = np.cos(yaw), np.sin(yaw)
@@ -68,13 +79,17 @@ def car_label_line(x_velo, y_velo, yaw=0.05):
     xmin, xmax = max(min(us), 0.0), min(max(us), 1242.0)
     ymin, ymax = max(min(vs), 0.0), min(max(vs), 375.0)
     return (
-        "Car 0.00 0 1.85 %.2f %.2f %.2f %.2f "
+        "%s 0.00 0 1.85 %.2f %.2f %.2f %.2f "
         "%.2f %.2f %.2f %.2f %.2f %.2f %.2f"
-        % (xmin, ymin, xmax, ymax, h, w, l, x3d, y3d, z3d, yaw)
+        % (cls, xmin, ymin, xmax, ymax, h, w, l, x3d, y3d, z3d, yaw)
     )
 
 
-def main(out_dir, num_frames=4):
+def car_label_line(x_velo, y_velo, yaw=0.05):
+    return label_line("Car", x_velo, y_velo, yaw)
+
+
+def main(out_dir, num_frames=4, classes=("Car",)):
     dirs = {
         "image": os.path.join(out_dir, "image/training/image_2"),
         "velo": os.path.join(out_dir, "velodyne/training/velodyne"),
@@ -89,20 +104,23 @@ def main(out_dir, num_frames=4):
     for i in range(num_frames):
         name = "%06d" % i
         names.append(name)
-        # three well-separated cars at varying ranges/lateral offsets
-        cars = [
-            (18.0 + 4 * (i % 5), -3.0 - (i % 3)),
-            (32.0 + 3 * (i % 4), 4.0 + (i % 2)),
-            (45.0 - 2 * (i % 3), -8.0 + 2 * (i % 4)),
+        # three well-separated objects at varying ranges/lateral
+        # offsets, cycling through the requested classes
+        objects = [
+            (classes[i % len(classes)], 18.0 + 4 * (i % 5), -3.0 - (i % 3)),
+            (classes[(i + 1) % len(classes)], 32.0 + 3 * (i % 4),
+             4.0 + (i % 2)),
+            (classes[(i + 2) % len(classes)], 45.0 - 2 * (i % 3),
+             -8.0 + 2 * (i % 4)),
         ]
-        make_frame(rng, cars=cars).tofile(
+        make_frame(rng, objects=objects).tofile(
             os.path.join(dirs["velo"], name + ".bin")
         )
         with open(os.path.join(dirs["calib"], name + ".txt"), "w") as f:
             f.write(CALIB_TEXT)
         with open(os.path.join(dirs["label"], name + ".txt"), "w") as f:
-            for (vx, vy) in cars:
-                f.write(car_label_line(vx, vy) + "\n")
+            for (cls, vx, vy) in objects:
+                f.write(label_line(cls, vx, vy) + "\n")
         img = rng.integers(0, 255, (375, 1242, 3)).astype(np.uint8)
         try:
             import cv2
@@ -122,4 +140,6 @@ def main(out_dir, num_frames=4):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    classes = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("Car",)
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+         classes=classes)

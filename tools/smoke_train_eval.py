@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--steps", type=int, default=1200)
     parser.add_argument("--T", type=int, default=1)
     parser.add_argument("--frames", type=int, default=14)
+    parser.add_argument("--label_method", default="Car",
+                        choices=["Car", "Pedestrian_and_Cyclist"])
     parser.add_argument("--min_ap", type=float, default=-1.0,
                         help="exit nonzero if Car_3d_moderate AP is below")
     args = parser.parse_args()
@@ -49,10 +51,15 @@ def main():
     work = args.workdir or tempfile.mkdtemp(prefix="pointgnn_smoke_")
     kitti_root = os.path.join(work, "kitti")
     train_dir = os.path.join(work, "train_dir")
+    gen_classes = (
+        ("Pedestrian", "Cyclist")
+        if args.label_method == "Pedestrian_and_Cyclist"
+        else ("Car",)
+    )
     if not os.path.isdir(kitti_root):
-        make_kitti(kitti_root, args.frames)
+        make_kitti(kitti_root, args.frames, classes=gen_classes)
 
-    config = configs.model_config("Car", T=args.T)
+    config = configs.model_config(args.label_method, T=args.T)
     # focal loss converges on the tiny overfit task in O(100) steps
     # (plain softmax at the reference's 0.1 weight needs many thousands)
     config["loss"] = {
@@ -60,7 +67,7 @@ def main():
         "cls_loss_weight": 1.0,
         "loc_loss_weight": 10.0,
     }
-    train_config = configs.train_config("Car")
+    train_config = configs.train_config(args.label_method)
     batch = 2
     steps_per_epoch = args.frames // batch
     train_config.update(
@@ -90,7 +97,8 @@ def main():
     cap = GraphCapacity(
         vertices=(32768, 12288, 12288), edges=(131072, 524288)
     )
-    spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=4)
+    num_classes = config["num_classes"]
+    spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=num_classes)
     trainer = Trainer(
         config,
         train_config,
@@ -108,7 +116,7 @@ def main():
         os.path.join(kitti_root, "velodyne/training/velodyne"),
         os.path.join(kitti_root, "calib/training/calib"),
         os.path.join(kitti_root, "labels/training/label_2"),
-        num_classes=4,
+        num_classes=num_classes,
     )
     gt_dir = os.path.join(kitti_root, "labels/training/label_2")
 
@@ -133,10 +141,14 @@ def main():
             print("[%s] %s: AP %.2f  AP_R40 %.2f" % (
                 label, key, results[key]["ap"], results[key]["ap_r40"]
             ))
-        aps[label] = results.get("Car_3d_moderate", {}).get("ap", 0.0)
-    print("Car_3d_moderate AP: host %.2f, fast %.2f  (workdir %s)" % (
-        aps["host"], aps["fast(on-device)"], work
-    ))
+        keys = [
+            k for k in results if k.endswith("_3d_moderate")
+        ] or ["Car_3d_moderate"]
+        aps[label] = float(np.mean(
+            [results.get(k, {}).get("ap", 0.0) for k in keys]
+        ))
+    print("3d_moderate AP (mean over classes): host %.2f, fast %.2f  "
+          "(workdir %s)" % (aps["host"], aps["fast(on-device)"], work))
     ap = min(aps.values())
     if args.min_ap >= 0 and ap < args.min_ap:
         print("FAIL: below --min_ap %.2f" % args.min_ap)
