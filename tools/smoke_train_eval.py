@@ -35,7 +35,8 @@ def main():
     parser.add_argument("--label_method", default="Car",
                         choices=["Car", "Pedestrian_and_Cyclist"])
     parser.add_argument("--min_ap", type=float, default=-1.0,
-                        help="exit nonzero if Car_3d_moderate AP is below")
+                        help="exit nonzero if the classes' mean 3D "
+                             "moderate AP is below (either path)")
     args = parser.parse_args()
 
     from make_synthetic_kitti import main as make_kitti
