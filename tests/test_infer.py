@@ -230,3 +230,28 @@ def test_run_dataset_stream_matches_sequential(tmp_path):
                 np.array(rb[1:], dtype=np.float64),
                 rtol=1e-4, atol=1e-4, err_msg=name,
             )
+
+
+def test_slab_l1_mode_wiring():
+    """slab='l1' enables the level-1 slab kernel only; level 0 keeps the
+    edge list (and the flag survives the truthiness gauntlet)."""
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=512,
+        per_center_caps=(16, 64), cell_caps=(32, 64),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec, seed=4,
+        pallas_tail=False, slab="l1",
+    )
+    assert pipe.slab == "l1"
+    assert pipe.device_spec.slab_level1 is True
+    assert pipe.device_spec.slab_level0 is False
+    assert pipe.model.slab_level1 is not None
+    assert pipe.model.slab_level0 is None
+    pts, _ = synthetic_lidar_frame(seed=0)
+    pts = pts.__class__(xyz=pts.xyz[:1500], attr=pts.attr[:1500])
+    cls, boxes, scores, _ = pipe.run_frame(pts)
+    assert boxes.shape[1] == 7
