@@ -31,6 +31,10 @@ def main():
     )
     args = parser.parse_args()
 
+    from pointgnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     from pointgnn_tpu.train.evaluator import Evaluator
     from pointgnn_tpu.train.pipeline import DatasetSpec, FetchSpec
     from pointgnn_tpu.utils import config_io

@@ -63,6 +63,10 @@ def main():
     )
     args = parser.parse_args()
 
+    from pointgnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     from pointgnn_tpu.data.kitti import KittiDataset
     from pointgnn_tpu.infer import InferencePipeline
     from pointgnn_tpu.utils import config_io
