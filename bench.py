@@ -11,7 +11,14 @@ reference's ~643 ms/frame (BASELINE.md; paper §5, Xeon E5-1630 +
 GTX 1070).  NMS is excluded on both sides (untrained weights make its
 cost unrepresentative).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures one full-capacity single-chip TRAIN step (car_auto_T3
+capacity from configs.tpu_settings, remat + chunked edge streaming, the
+production training configuration) — ms/step plus an MFU estimate from
+XLA's compiled cost analysis — and emits provenance (jax version,
+backend, device kind, which inference path actually ran) so recorded
+numbers are attributable to an environment.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,6 +28,89 @@ import time
 import numpy as np
 
 BASELINE_MS = 643.0
+
+# TPU v5e peak: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 (public spec). The
+# train step runs f32 params with bf16 MXU matmuls; quote MFU against
+# the bf16 peak (conservative).
+V5E_PEAK_BF16 = 197e12
+
+
+def bench_train_step(cfg):
+    """Full-capacity single-chip train step: (ms/step, mfu_pct)."""
+    import jax
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.graph import builder, pad
+    from pointgnn_tpu.model.pointgnn import PointGNN
+    from pointgnn_tpu.parallel import step as pstep
+    from pointgnn_tpu.train import optimizers
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    tpu = configs.tpu_settings("Car")
+    cap = tpu["frame_capacity"]
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(tpu["frames_per_device"]):
+        points, _ = synthetic_lidar_frame(seed=i)
+        vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+            points.xyz, **cfg["graph_gen_kwargs"],
+            rng=np.random.default_rng(i),
+        )
+        k = len(vcl[-1])
+        labels = rng.randint(0, cfg["num_classes"], (k, 1))
+        frames.append(pad.FrameData(
+            points.attr[:, :1].astype(np.float32), vcl, kil, el,
+            cls_labels=labels,
+            encoded_boxes=rng.rand(k, 1, 7).astype(np.float32),
+            valid_boxes=(labels[:, :, None] == 1).astype(np.float32),
+        ))
+    graph = pad.batch_and_pad(frames, cap)
+    model = PointGNN(
+        num_classes=cfg["num_classes"], box_encoding_len=7,
+        layer_configs=cfg["model_kwargs"]["layer_configs"],
+        regularizer_type="l1", regularizer_kwargs={"scale": 5e-7},
+        mode="train",
+    )
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+    opt, _ = optimizers.build_from_train_config(
+        {"initial_lr": 0.125, "decay_step": 400000,
+         "decay_factor": 0.1, "optimizer": "sgd"}
+    )
+    state = pstep.init_train_state(params, opt)
+    step_fn = pstep.make_train_step(model, opt, cfg["loss"], mesh=None)
+    state, _ = step_fn(state, graph)  # compile
+    jax.block_until_ready(state.params)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        state, _ = step_fn(state, graph)
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+    mfu = None
+    try:
+        cost = step_fn.lower(state, graph).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = 100.0 * flops / step_s / V5E_PEAK_BF16
+    except Exception:
+        pass
+    return step_s * 1e3, mfu
+
+
+def provenance(pipe):
+    import jax
+
+    dev = jax.devices()[0]
+    return {
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device": getattr(dev, "device_kind", str(dev)),
+        "slab": pipe.slab,
+        "pallas_tail": pipe.pallas_tail,
+    }
 
 
 def main():
@@ -90,18 +180,68 @@ def main():
         pass
     stream_ms = (time.perf_counter() - t0) / n_stream * 1e3
 
-    print(
-        json.dumps(
-            {
-                "metric": "car_T3_e2e_inference_latency",
-                "value": round(ms, 2),
-                "unit": "ms/frame",
-                "vs_baseline": round(BASELINE_MS / ms, 2),
-                "stream_ms_per_frame": round(stream_ms, 2),
-                "stream_vs_baseline": round(BASELINE_MS / stream_ms, 2),
-            }
-        )
+    # Headline = per-frame serving latency over a sequential dataset
+    # run (the reference's 643 ms is exactly that: run.py's time_dict
+    # totals / num frames over the val split).  pipe.stream() IS our
+    # dataset loop — it prefetches the next frame's single H2D put
+    # under the current frame's compute, which the tunneled backend's
+    # ~33 ms flat put latency otherwise serializes into every frame.
+    # The cold single-frame latency (put + compute + readback, nothing
+    # to overlap) is reported alongside.
+    out = {
+        "metric": "car_T3_serving_latency",
+        "value": round(stream_ms, 2),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / stream_ms, 2),
+        "single_frame_ms": round(ms, 2),
+        "single_frame_vs_baseline": round(BASELINE_MS / ms, 2),
+        "provenance": provenance(pipe),
+    }
+    if os.environ.get("POINTGNN_BENCH_TRAIN", "1") != "0":
+        try:
+            train_ms, mfu = bench_train_step(cfg)
+            out["train_step_ms"] = round(train_ms, 2)
+            if mfu is not None:
+                out["train_mfu_pct"] = round(mfu, 2)
+        except Exception as exc:  # never sink the headline metric
+            out["train_step_error"] = repr(exc)[:200]
+    if os.environ.get("POINTGNN_BENCH_PEDCYL", "1") != "0":
+        # The 6-class family's r=0.4 slab grid caps at 256^2 cells
+        # (cell ~1.0m > radius -> up to ~6x candidate overfetch per
+        # window); measure it rather than assume it's fine.
+        try:
+            out["ped_cyl_stream_ms"] = round(bench_ped_cyl(), 2)
+        except Exception as exc:
+            out["ped_cyl_error"] = repr(exc)[:200]
+    print(json.dumps(out))
+
+
+def bench_ped_cyl():
+    """Streaming ms/frame for the Pedestrian_and_Cyclist model."""
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import InferencePipeline
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    cfg = configs.model_config("Pedestrian_and_Cyclist", T=3)
+    spec = db.spec_from_config(
+        cfg, num_points=24576, num_keypoints=12288,
+        per_center_caps=(32, 192),
     )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, use_box_score=False, device_spec=spec
+    )
+    # point density (not object class mix) drives the radius-search
+    # cost, so the car-scene synthetic frames are representative
+    frames = [synthetic_lidar_frame(seed=i)[0] for i in range(8)]
+    n = 16
+    stream_frames = [frames[i % len(frames)] for i in range(n)]
+    for _ in pipe.stream(stream_frames[:4], raw=True):  # warm/compile
+        pass
+    t0 = time.perf_counter()
+    for _ in pipe.stream(stream_frames, raw=True):
+        pass
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 if __name__ == "__main__":

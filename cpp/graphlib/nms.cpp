@@ -109,10 +109,13 @@ double pair_overlap(const double* c1, const double* c2) {
   const double shared_area = inter.size() < 3 ? 0.0 : polygon_area(inter);
   const double shared_y =
       std::min(max2[1], max1[1]) - std::max(min2[1], min1[1]);
-  // parity: numpy casts the intersection volume to float32 first
-  const double intersection = (double)(float)(shared_y * shared_area);
+  // parity with iou.py:99 `np.float32(intersection) / (union - intersection)`:
+  // only the NUMERATOR is rounded to float32; the denominator keeps the
+  // unrounded float64 intersection (numpy folds the f32 back to f64 for
+  // the division).
+  const double inter_f64 = shared_y * shared_area;
   const double uni = (max2[1] - min2[1]) * area2 + (max1[1] - min1[1]) * area1;
-  return intersection / (uni - intersection);
+  return (double)(float)inter_f64 / (uni - inter_f64);
 }
 
 // boxes_to_corners for ONE box (core/boxes.py:47-75, expand=(1,1,1)),

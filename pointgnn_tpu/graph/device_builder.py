@@ -165,7 +165,8 @@ def voxel_select(xyz, mask, voxel_size, num_keypoints):
 
 
 def radius_edges(
-    src_xyz, src_mask, ctr_xyz, ctr_mask, level: LevelSpec
+    src_xyz, src_mask, ctr_xyz, ctr_mask, level: LevelSpec,
+    return_counts=False,
 ):
     """Fixed-radius neighbors, grouped by center with sentinel padding.
 
@@ -276,6 +277,19 @@ def radius_edges(
     edges_dst = jnp.broadcast_to(
         jnp.arange(k, dtype=jnp.int32)[:, None], (k, s)
     ).reshape(-1).astype(jnp.int32)
+    if return_counts:
+        in_radius = ok.sum(axis=1)
+        counts = {
+            # centers whose true neighborhood exceeded the per-center
+            # cap (their neighbor subset is truncated)
+            "saturated_centers": jnp.sum(in_radius > s).astype(jnp.int32),
+            # valid sources dropped from overfull grid cells (they can
+            # never appear as a neighbor of ANY center)
+            "cell_overflow_sources": jnp.sum(
+                (sorted_cell < num_cells) & (rank >= m)
+            ).astype(jnp.int32),
+        }
+        return edges_src, edges_dst, counts
     return edges_src, edges_dst
 
 
@@ -346,12 +360,40 @@ def build_padded_graph(
     features,              # [P, C] float32
     points_mask,           # [P] bool/float
     spec: DeviceGraphSpec,
+    return_counters=False,
 ) -> PaddedGraph:
-    """Full two-level graph as one device computation."""
+    """Full two-level graph as one device computation.
+
+    With ``return_counters=True``, also returns a dict of int32 scalars
+    quantifying capacity truncation (keypoints lost to the voxel cap,
+    per-level edge-cap saturation, grid-cell overflow) — the padded
+    design's counterpart to the reference's never-drops ragged feed
+    (train.py:184-222).  Used by diagnostics/tests; the serving hot path
+    keeps the counter-free program (same compiled signature as before).
+    """
+    counters = {}
     points_mask = points_mask.astype(bool)
     kp_idx, kp_mask = voxel_select(
         points_xyz, points_mask, spec.voxel_size, spec.num_keypoints
     )
+    if return_counters:
+        # occupied voxels beyond the keypoint capacity (recompute the
+        # first-of-voxel count; cheap next to the sorts that follow)
+        keys = _cell_keys(
+            points_xyz, points_mask, spec.voxel_size,
+            jnp.min(
+                jnp.where(points_mask[:, None], points_xyz, jnp.inf), axis=0
+            ),
+        )
+        sk = jnp.sort(keys)
+        big = _DX * _DY * _DZ
+        first = jnp.ones(points_xyz.shape[0], dtype=bool)
+        first = first.at[1:].set(sk[1:] != sk[:-1])
+        occupied = jnp.sum(first & (sk < big)).astype(jnp.int32)
+        counters["voxels_occupied"] = occupied
+        counters["keypoints_dropped"] = jnp.maximum(
+            occupied - spec.num_keypoints, 0
+        )
     kp_xyz = jnp.where(kp_mask[:, None], points_xyz[kp_idx], 0.0)
     slab_offsets = slab_center_cell = None
     slab0_offsets = slab0_center_cell = None
@@ -387,8 +429,16 @@ def build_padded_graph(
     elif kp_fine is not None:
         slab0_center_cell = kp_fine
     if spec.slab_level0:
+        # slab search is exact/uncapped: nothing to saturate
         e0_src = jnp.zeros((1,), jnp.int32)
         e0_dst = jnp.zeros((1,), jnp.int32)
+    elif return_counters:
+        e0_src, e0_dst, c0 = radius_edges(
+            points_xyz, points_mask, kp_xyz, kp_mask, spec.level0,
+            return_counts=True,
+        )
+        counters["l0_saturated_centers"] = c0["saturated_centers"]
+        counters["l0_cell_overflow_sources"] = c0["cell_overflow_sources"]
     else:
         e0_src, e0_dst = radius_edges(
             points_xyz, points_mask, kp_xyz, kp_mask, spec.level0
@@ -396,6 +446,13 @@ def build_padded_graph(
     if spec.slab_level1:
         e1_src = jnp.zeros((1,), jnp.int32)
         e1_dst = jnp.zeros((1,), jnp.int32)
+    elif return_counters:
+        e1_src, e1_dst, c1 = radius_edges(
+            kp_xyz, kp_mask, kp_xyz, kp_mask, spec.level1,
+            return_counts=True,
+        )
+        counters["l1_saturated_centers"] = c1["saturated_centers"]
+        counters["l1_cell_overflow_sources"] = c1["cell_overflow_sources"]
     else:
         e1_src, e1_dst = radius_edges(
             kp_xyz, kp_mask, kp_xyz, kp_mask, spec.level1
@@ -403,7 +460,7 @@ def build_padded_graph(
     k = spec.num_keypoints
     maskf = points_mask.astype(jnp.float32)
     kp_maskf = kp_mask.astype(jnp.float32)
-    return PaddedGraph(
+    graph = PaddedGraph(
         features=features * maskf[:, None],
         vertex_xyz=(
             points_xyz * maskf[:, None],
@@ -425,11 +482,58 @@ def build_padded_graph(
         slab0_offsets=slab0_offsets,
         slab0_center_cell=slab0_center_cell,
     )
+    if return_counters:
+        return graph, counters
+    return graph
+
+
+def _warn_point_drop(n_in, num_points):
+    if n_in > num_points:
+        import warnings
+
+        warnings.warn(
+            "point overflow: frame has %d points > device capacity %d; "
+            "dropping %d (far-field detections may be lost — raise "
+            "num_points in the DeviceGraphSpec)"
+            % (n_in, num_points, n_in - num_points),
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def host_overflow_stats(xyz: np.ndarray, spec: "DeviceGraphSpec"):
+    """Host-side overflow accounting for one frame (no device work).
+
+    The device program silently clips to its static capacities (the
+    reference feeds ragged arrays and never drops, train.py:184-222), so
+    the serving path surfaces the loss here: points beyond
+    ``spec.num_points`` and occupied voxels beyond ``spec.num_keypoints``
+    (the voxel_select cap).  Edge-cap saturation is a device-side
+    quantity — see ``build_padded_graph(return_counters=True)``.
+    """
+    n = len(xyz)
+    kept = np.asarray(xyz[: spec.num_points], np.float32)
+    if len(kept):
+        ijk = np.floor(
+            (kept - kept.min(axis=0)) / spec.voxel_size
+        ).astype(np.int64)
+        occupied = len(
+            np.unique(ijk[:, 0] + 4096 * (ijk[:, 1] + 4096 * ijk[:, 2]))
+        )
+    else:
+        occupied = 0
+    return {
+        "points": n,
+        "points_dropped": max(0, n - spec.num_points),
+        "voxels_occupied": occupied,
+        "keypoints_dropped": max(0, occupied - spec.num_keypoints),
+    }
 
 
 def pad_points(xyz: np.ndarray, attr: np.ndarray, num_points: int):
     """Host-side: pad raw points to the spec capacity (the only
-    per-frame host->device payload)."""
+    per-frame host->device payload).  Warns when points are dropped."""
+    _warn_point_drop(len(xyz), num_points)
     n = min(len(xyz), num_points)
     out_xyz = np.zeros((num_points, 3), np.float32)
     out_attr = np.zeros((num_points, attr.shape[1]), np.float32)
@@ -449,7 +553,9 @@ PACK_SENTINEL = 1e6
 
 def pack_points(xyz: np.ndarray, attr: np.ndarray, num_points: int):
     """Host-side: one [num_points, 3 + C] f32 payload; pad rows carry
-    sentinel coordinates (no separate mask array, no separate puts)."""
+    sentinel coordinates (no separate mask array, no separate puts).
+    Warns when points beyond the capacity are dropped."""
+    _warn_point_drop(len(xyz), num_points)
     n = min(len(xyz), num_points)
     out = np.zeros((num_points, 3 + attr.shape[1]), np.float32)
     out[n:, :3] = PACK_SENTINEL

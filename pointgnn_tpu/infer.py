@@ -118,7 +118,12 @@ class InferencePipeline:
         label_map, n_cls = LABEL_METHODS[self.label_method]
         assert n_cls == self.num_classes
         self.label_map = label_map
-        self.tables = encodings.build_class_tables(label_map)
+        # device decoder matched to the config's encoding (previously
+        # hardwired to classaware semantics — silently wrong boxes for
+        # canonical/direct/center/voxelnet configs)
+        self.decode_jax = encodings.get_decode_jax(
+            config["box_encoding_method"], label_map
+        )
         self.enc_len = encodings.get_encoding_len(
             config["box_encoding_method"]
         )
@@ -212,6 +217,8 @@ class InferencePipeline:
                 self.restored_step = 0
         self.params = params
         self.time_dict: Dict[str, float] = {}
+        # cumulative capacity-truncation accounting (device path)
+        self.overflow_counters: Dict[str, int] = {}
         self.frames_done = 0
         self._device_fn = jax.jit(self._build_device_fn())
         self._batch_fns: Dict[int, object] = {}  # stream() batch programs
@@ -229,7 +236,8 @@ class InferencePipeline:
         import jax
         import jax.numpy as jnp
 
-        model, tables, num_classes = self.model, self.tables, self.num_classes
+        model, num_classes = self.model, self.num_classes
+        decode_jax = self.decode_jax
 
         def device_fn(params, graph):
             logits, box_enc = model.apply(params, graph)
@@ -243,9 +251,8 @@ class InferencePipeline:
                 num_classes,
                 axis=0,
             )
-            decoded = encodings.classaware_decode_jax(
-                cls_ids, xyz, box_enc.reshape(-1, model.box_encoding_len),
-                tables,
+            decoded = decode_jax(
+                cls_ids, xyz, box_enc.reshape(-1, model.box_encoding_len)
             )
             return probs, decoded
 
@@ -285,9 +292,7 @@ class InferencePipeline:
             sel_cls = cls_ids[topi]
             sel_xyz = kp_xyz[topi // num_classes]
             sel_enc = box_enc.reshape(-1, model.box_encoding_len)[topi]
-            decoded = encodings.classaware_decode_jax(
-                sel_cls, sel_xyz, sel_enc, tables
-            )
+            decoded = decode_jax(sel_cls, sel_xyz, sel_enc)
             return topv, sel_cls, decoded, sel_xyz
 
         return device_fn_points
@@ -308,6 +313,28 @@ class InferencePipeline:
         if self.on_device_graph:
             from pointgnn_tpu.graph import device_builder as db
 
+            # surface capacity truncation (pack_points warns on point
+            # drop; occupied-voxel overflow is host-computable too) —
+            # the reference's ragged feed never drops, so silent loss
+            # would be a padded-design-only regression
+            stats = db.host_overflow_stats(points.xyz, self.device_spec)
+            for key, val in stats.items():
+                self.overflow_counters[key] = (
+                    self.overflow_counters.get(key, 0) + int(val)
+                )
+            if stats["keypoints_dropped"] > 0:
+                import warnings
+
+                warnings.warn(
+                    "keypoint overflow: %d occupied voxels > capacity %d;"
+                    " %d keypoints dropped (raise num_keypoints in the "
+                    "DeviceGraphSpec)"
+                    % (stats["voxels_occupied"],
+                       self.device_spec.num_keypoints,
+                       stats["keypoints_dropped"]),
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             packed = db.pack_points(
                 points.xyz,
                 select_input_features(points.attr, self.input_features),
@@ -719,6 +746,21 @@ class InferencePipeline:
                     points.xyz, boxes, gt_boxes,
                     path=os.path.join(vis_dir, name + "_bev.png"),
                 )
+                if visualization_level >= 2:
+                    # 3D view: interactive when Open3D is importable
+                    # (reference run.py:151-189), else a saved render /
+                    # BEV fallback
+                    from pointgnn_tpu.utils import interactive
+
+                    class_names = [
+                        p[0] for p in pred_labels
+                    ] if pred_labels else None
+                    interactive.vis_detections(
+                        points.xyz, boxes, names=class_names,
+                        save_path=os.path.join(
+                            vis_dir, name + "_3d.png"
+                        ),
+                    )
             self.time_dict["total"] = self.time_dict.get("total", 0) + (
                 time.time() - start
             )

@@ -334,6 +334,103 @@ def classaware_decode_jax(cls_ids, points_xyz, encoded, tables):
     return jnp.concatenate([xyz, lhw, yaw[:, None]], axis=-1)
 
 
+def classaware_canonical_decode_jax(cls_ids, points_xyz, encoded, tables):
+    """Device decode for the canonical (box-frame-rotated) variant.
+
+    jnp mirror of :func:`classaware_all_class_box_canonical_decoding`
+    (reference box_encoding.py:301-395) over [N, 7] rows with one class
+    column already selected.
+    """
+    import jax.numpy as jnp
+
+    sizes, yaw_offset, active = tables
+    sizes = jnp.asarray(sizes, jnp.float32)
+    yaw_offset = jnp.asarray(yaw_offset, jnp.float32)
+    active = jnp.asarray(active)
+    ids = jnp.clip(cls_ids, 0, sizes.shape[0] - 1)
+    sz = sizes[ids]
+    yoff = yaw_offset[ids]
+    act = active[ids]
+    e = encoded
+    angle = e[:, 6] * QUARTER_PI
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    # vertical sub-classes swap the l/w normalizers (encodings above)
+    vert = yoff > 0.0
+    norm0 = jnp.where(vert, sz[:, 2], sz[:, 0])
+    norm2 = jnp.where(vert, sz[:, 0], sz[:, 2])
+    dec0 = e[:, 0] * norm0 * ca + e[:, 2] * norm2 * sa
+    dec2 = -e[:, 0] * norm0 * sa + e[:, 2] * norm2 * ca
+    x = jnp.where(act, dec0, e[:, 0])
+    y = jnp.where(act, e[:, 1] * sz[:, 1], e[:, 1])
+    z = jnp.where(act, dec2, e[:, 2])
+    xyz = jnp.stack([x, y, z], axis=-1) + points_xyz
+    lhw = jnp.where(act[:, None], jnp.exp(e[:, 3:6]) * sz, e[:, 3:6])
+    yaw = jnp.where(act, angle + yoff, e[:, 6])
+    return jnp.concatenate([xyz, lhw, yaw[:, None]], axis=-1)
+
+
+def direct_decode_jax(cls_ids, points_xyz, encoded, tables):
+    return encoded
+
+
+def center_decode_jax(cls_ids, points_xyz, encoded, tables):
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [encoded[:, 0:3] + points_xyz, encoded[:, 3:]], axis=-1
+    )
+
+
+def voxelnet_decode_jax(cls_ids, points_xyz, encoded, tables):
+    """jnp mirror of :func:`voxelnet_box_decoding` (4 flat ids, shared
+    yaw normalizer pi/2)."""
+    import jax.numpy as jnp
+
+    sizes = jnp.asarray(_VOXELNET_FLAT_SIZES, jnp.float32)
+    active = jnp.asarray(_VOXELNET_FLAT_ACTIVE)
+    ids = jnp.clip(cls_ids, 0, sizes.shape[0] - 1)
+    sz = sizes[ids]
+    act = active[ids]
+    xyz = jnp.where(act[:, None], encoded[:, 0:3] * sz, encoded[:, 0:3])
+    xyz = xyz + points_xyz
+    lhw = jnp.where(
+        act[:, None], jnp.exp(encoded[:, 3:6]) * sz, encoded[:, 3:6]
+    )
+    yaw = encoded[:, 6] * HALF_PI
+    return jnp.concatenate([xyz, lhw, yaw[:, None]], axis=-1)
+
+
+def get_decode_jax(name, label_map):
+    """Device (jit-compatible) decoder for any registered encoding.
+
+    Returns ``fn(cls_ids [N], points_xyz [N,3], encoded [N,7]) -> [N,7]``
+    matching the host decoder in :data:`_DECODERS` for the same name —
+    tables are bound here so callers need no per-method logic
+    (reference dispatch: box_encoding.py:469-502).
+    """
+    import functools
+
+    if name == "classaware_all_class_box_encoding":
+        tables = build_class_tables(label_map)
+        return functools.partial(classaware_decode_jax, tables=tables)
+    if name == "classaware_voxelnet_box_encoding":
+        return functools.partial(
+            classaware_decode_jax, tables=_CA_VOXELNET_TABLES
+        )
+    if name == "classaware_all_class_box_canonical_encoding":
+        tables = build_class_tables(label_map)
+        return functools.partial(
+            classaware_canonical_decode_jax, tables=tables
+        )
+    if name == "direct_encoding":
+        return functools.partial(direct_decode_jax, tables=None)
+    if name == "center_box_encoding":
+        return functools.partial(center_decode_jax, tables=None)
+    if name == "voxelnet_box_encoding":
+        return functools.partial(voxelnet_decode_jax, tables=None)
+    raise KeyError("no device decoder for box encoding %r" % name)
+
+
 # --------------------------------------------------------------------------
 # Registries (box_encoding.py:469-502 parity)
 # --------------------------------------------------------------------------

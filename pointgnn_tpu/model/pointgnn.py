@@ -87,10 +87,39 @@ class PointGNN:
         # slab mode for level-1 GNN layers / the level-0 set-pooling
         # layer: static {"grid_g", "radius"} matching the graph's slab
         # metadata (device_builder); the layers then run the fused
-        # radius-search kernel instead of consuming an edge list.
-        # Inference only.
-        self.slab_level1 = slab_level1 if mode != "train" else None
-        self.slab_level0 = slab_level0 if mode != "train" else None
+        # radius-search kernel instead of consuming an edge list.  In
+        # train mode the layers dispatch to the custom-VJP variant
+        # (nn/pallas_kernels.slab_edge_max_train): the backward kernel
+        # re-runs the radius search and routes cotangents to the
+        # per-channel max winners, so training needs no edge lists
+        # either — and trains on the exact UNCAPPED graph (the runtime
+        # semantics), removing the train/test neighbor-cap mismatch
+        # (docs/PERF_NOTES.md).
+        if mode == "train":
+            if slab_level1 is not None:
+                slab_level1 = dict(slab_level1, train=True)
+            if slab_level0 is not None:
+                slab_level0 = dict(slab_level0, train=True)
+        self.slab_level1 = slab_level1
+        self.slab_level0 = slab_level0
+        # BN-family normalizations compute masked BATCH statistics (the
+        # reference's slim BN with is_training=True, gnn.py:9-23); no
+        # moving averages are maintained, so at test time they would
+        # silently diverge from slim's eval semantics.  Every shipped
+        # config uses NONE — refuse rather than mis-evaluate.
+        if mode == "test":
+            bn_types = {"fused_BN_center", "BN_center", "BN"}
+            for cfg in self.layer_configs:
+                for key, val in cfg.get("kwargs", {}).items():
+                    if key.endswith("normalization_type") and val in bn_types:
+                        raise NotImplementedError(
+                            "layer %r uses %s=%r: BN moving averages are "
+                            "not implemented, so test-mode evaluation "
+                            "would use batch statistics (wrong slim eval "
+                            "semantics). Train/eval with NONE or IN "
+                            "normalization instead."
+                            % (cfg.get("scope", cfg.get("type")), key, val)
+                        )
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None

@@ -109,12 +109,23 @@ class PointSetPooling:
         num_centers = center_xyz.shape[0]
         num_src = point_features.shape[0]
 
-        if (
-            slab is not None
-            and self._agg_name == "max"
+        if slab is not None and not (
+            self._agg_name == "max"
             and point_MLP_normalization_type == "NONE"
             and point_MLP_activation_type == "ReLU"
         ):
+            # Slab graphs carry no level-0 edge list (build_padded_graph
+            # substitutes dummy arrays), so the segment-reduction
+            # fallback would silently reduce over garbage edges.
+            raise ValueError(
+                "slab mode requires max aggregation, NONE point-MLP "
+                "normalization, and ReLU activation; got agg=%r norm=%r "
+                "act=%r — disable slab for this config"
+                % (self._agg_name, point_MLP_normalization_type,
+                   point_MLP_activation_type)
+            )
+
+        if slab is not None:
             # Slab mode: no level-0 edge list — the fused kernel
             # (nn/pallas_kernels.slab_edge_max) performs the exact
             # uncapped radius search over cell-sorted point rows, the
@@ -167,11 +178,16 @@ class PointSetPooling:
             tail_weights = []
             for layer in pp[1:]:
                 tail_weights += [layer["w"], layer["b"]]
-            agg = pk.slab_edge_max(
+            slab_fn = (
+                pk.slab_edge_max_train if slab.get("train")
+                else pk.slab_edge_max
+            )
+            agg = slab_fn(
                 table_a, src4, table_b, ctr4,
                 slab["offsets"], slab["center_cell"],
                 tuple(tail_weights),
                 grid_g=slab["grid_g"], radius=slab["radius"],
+                compute_dtype=jnp.dtype(cd).name,
                 interpret=(jax.default_backend() != "tpu"),
             )
             agg = agg.astype(point_features.dtype)
@@ -352,6 +368,21 @@ class GraphNetAutoCenter:
         slab=None,
     ):
         n = vertex_features.shape[0]
+        if slab is not None and not (
+            self._agg_name == "max"
+            and edge_MLP_normalization_type == "NONE"
+            and edge_MLP_activation_type == "ReLU"
+        ):
+            # Slab graphs carry no edge list; the fallback segment path
+            # would reduce over the dummy arrays build_padded_graph
+            # substitutes in slab mode.
+            raise ValueError(
+                "slab mode requires max aggregation, NONE edge-MLP "
+                "normalization, and ReLU activation; got agg=%r norm=%r "
+                "act=%r — disable slab for this config"
+                % (self._agg_name, edge_MLP_normalization_type,
+                   edge_MLP_activation_type)
+            )
         # auto-registration offsets shift only the destination coords
         # (gnn.py:341-348)
         if auto_offset:
@@ -417,12 +448,17 @@ class GraphNetAutoCenter:
                 tail_weights = []
                 for layer in ep[1:]:
                     tail_weights += [layer["w"], layer["b"]]
-                agg = pk.slab_edge_max(
+                slab_fn = (
+                    pk.slab_edge_max_train if slab.get("train")
+                    else pk.slab_edge_max
+                )
+                agg = slab_fn(
                     table_a.astype(jnp.float32), src4,
                     table_b.astype(jnp.float32), ctr4,
                     slab["offsets"], slab["center_cell"],
                     tuple(tail_weights),
                     grid_g=slab["grid_g"], radius=slab["radius"],
+                    compute_dtype=jnp.dtype(cd).name,
                     interpret=(jax.default_backend() != "tpu"),
                 )
                 agg = agg.astype(vertex_features.dtype)

@@ -93,10 +93,12 @@ def batch_norm(x, norm_params, mask=None, center=True, eps=1e-3):
     """BN over the vertex axis with optional learned center/scale.
 
     The reference uses slim.batch_norm (center=True, scale=False by
-    default; 'BN' disables center).  Statistics here are batch
-    statistics masked to valid rows; running averages are maintained by
-    the training loop (see pointgnn_tpu.train) when BN is configured —
-    the shipped configs all use normalization 'NONE'.
+    default; 'BN' disables center).  Statistics here are ALWAYS batch
+    statistics masked to valid rows — the reference's training-time
+    behavior.  No moving averages are maintained anywhere, so test-mode
+    evaluation under BN would diverge from slim's eval semantics;
+    PointGNN refuses BN configs at mode="test" for that reason.  The
+    shipped configs all use normalization 'NONE'.
     """
     mean, var = _masked_moments(x, mask)
     y = (x - mean) * jax.lax.rsqrt(var + eps)

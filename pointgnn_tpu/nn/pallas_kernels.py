@@ -281,7 +281,10 @@ def edge_tail_max(
 
 def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                  *rest, num_weights: int, bk: int, tile: int, h: int,
-                 grid_g: int, radius: float):
+                 grid_g: int, radius: float,
+                 compute_dtype: str = "bfloat16",
+                 clamp_out: bool = True):
+    cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref, src_xyz_ref = rest[num_weights:num_weights + 2]
     out_ref = rest[num_weights + 2]
@@ -313,7 +316,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     b_rows = jnp.concatenate(
         [jnp.broadcast_to(b[c:c + 1, :], (tile, h)) for c in range(bk)],
         axis=0,
-    ).astype(jnp.bfloat16)
+    ).astype(cdt)
     ctr3 = ctr_xyz_ref[:][:, :3]
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
     axes_rows = [
@@ -349,8 +352,8 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             d2 = d2 + diff * diff
         mask = d2 <= r2  # sentinel coords (1e6) and padding auto-fail
 
-        a_bf = a_tile[:][:, :h].astype(jnp.bfloat16)
-        a_rep = jnp.concatenate([a_bf] * bk, axis=0)  # [bk*tile, h]
+        a_cd = a_tile[:][:, :h].astype(cdt)
+        a_rep = jnp.concatenate([a_cd] * bk, axis=0)  # [bk*tile, h]
         x = jnp.maximum(a_rep - b_rows, 0.0)
         for wi in range(0, num_weights, 2):
             w = weight_refs[wi][:]
@@ -358,7 +361,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             x = jnp.dot(x, w, preferred_element_type=jnp.float32)
             x = jnp.maximum(x + bb, 0.0)
             if wi + 2 < num_weights:
-                x = x.astype(jnp.bfloat16)
+                x = x.astype(cdt)
         x3d = x.astype(jnp.float32).reshape(bk, tile, x.shape[-1])
         maskf = mask.astype(jnp.float32).reshape(bk, tile, 1)
         x3d = jnp.where(maskf > 0, x3d, NEG)
@@ -403,13 +406,20 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     x1 = jnp.minimum(cmax // grid_g + 1, grid_g - 1)
     ncols = jnp.where(cmax >= 0, x1 - x0 + 1, 0)
     acc = jax.lax.fori_loop(0, ncols, col_body, acc0)
-    out_ref[:] = jnp.where(acc > NEG / 2, acc, 0.0)
+    if clamp_out:
+        out_ref[:] = jnp.where(acc > NEG / 2, acc, 0.0)
+    else:
+        # raw max (NEG for centers with no in-radius candidate) — the
+        # training path saves this as the VJP residual so the backward
+        # kernel can detect per-channel winners by exact equality
+        out_ref[:] = acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "grid_g", "radius", "block_centers", "tile", "interpret"
+        "grid_g", "radius", "block_centers", "tile", "interpret",
+        "compute_dtype",
     ),
 )
 def slab_edge_max(
@@ -430,6 +440,7 @@ def slab_edge_max(
     block_centers: int = 32,
     tile: int = 128,
     interpret: bool = False,
+    compute_dtype: str = "bfloat16",
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
 
@@ -438,18 +449,34 @@ def slab_edge_max(
     different point sets — the GNN layers use the same keypoints for
     both, set pooling pools raw points into keypoints.  Returns
     [K, H_out] float32."""
-    k, h = table_b.shape[0], table_a.shape[1]
-    bk = block_centers
-    while k % bk != 0 or (k // bk) % 8 != 0:
-        bk //= 2
-    h_out = weights[-2].shape[1] if weights else h
-    # pad the DMA'd tables: +tile rows so aligned tiles may read past
-    # row k, and lane dims up to multiples of 128 (Mosaic requires
-    # DMA slice widths aligned to the tiling)
-    h_pad = -(-h // 128) * 128
-    table_a = jnp.pad(
-        table_a, ((0, tile), (0, h_pad - h))
+    return _slab_forward(
+        table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+        weights, grid_g, radius, block_centers, tile, interpret,
+        compute_dtype, clamp_out=True,
     )
+
+
+def _pick_bk(k, block_centers, what):
+    bk = block_centers
+    while bk and (k % bk != 0 or (k // bk) % 8 != 0):
+        bk //= 2
+    if bk == 0:
+        # with bk == 1 the conditions reduce to k % 8 == 0, so this is
+        # exactly the non-multiple-of-8 case (edge_tail_max bottoms out
+        # at 1; here the SMEM cell blocks arrive as (8, bk) rows)
+        raise ValueError(
+            "%s: num centers (%d) must be a multiple of 8 — pad K "
+            "before calling" % (what, k)
+        )
+    return bk
+
+
+def _slab_prep(table_a, src_xyz, weights, tile, h, compute_dtype):
+    """Pad the DMA'd tables (+tile rows so aligned tiles may read past
+    the last row; lane dims to multiples of 128 — Mosaic requires DMA
+    slice widths aligned to the tiling) and cast weights."""
+    h_pad = -(-h // 128) * 128
+    table_a = jnp.pad(table_a, ((0, tile), (0, h_pad - h)))
     src_xyz = jnp.pad(
         src_xyz, ((0, tile), (0, 128 - src_xyz.shape[1])),
         constant_values=1e6,
@@ -458,7 +485,21 @@ def slab_edge_max(
     for idx, wb in enumerate(weights):
         if idx % 2 == 1:
             wb = wb.reshape(1, -1)
-        weight_args.append(jnp.asarray(wb, jnp.bfloat16))
+        weight_args.append(jnp.asarray(wb, jnp.dtype(compute_dtype)))
+    return table_a, src_xyz, weight_args, h_pad
+
+
+def _slab_forward(
+    table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
+    grid_g, radius, block_centers, tile, interpret, compute_dtype,
+    clamp_out,
+):
+    k, h = table_b.shape[0], table_a.shape[1]
+    bk = _pick_bk(k, block_centers, "slab_edge_max")
+    h_out = weights[-2].shape[1] if weights else h
+    table_a, src_xyz, weight_args, h_pad = _slab_prep(
+        table_a, src_xyz, weights, tile, h, compute_dtype
+    )
 
     grid = (k // bk,)
     in_specs = [
@@ -479,6 +520,8 @@ def slab_edge_max(
         _slab_kernel,
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, grid_g=grid_g, radius=float(radius),
+        compute_dtype=compute_dtype,
+        clamp_out=clamp_out,
     )
     return pl.pallas_call(
         kernel,
@@ -497,3 +540,408 @@ def slab_edge_max(
         interpret=interpret,
     )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
       *weight_args, table_a, src_xyz)
+
+
+# ---------------------------------------------------------------------------
+# Training-path slab: custom VJP for slab_edge_max.
+#
+# The backward kernel re-walks the same cell-column candidate windows as
+# the forward (recompute-in-backward: no per-edge activations are ever
+# stored), recomputes each tile's edge-MLP chain BIT-IDENTICALLY (same
+# operand dtypes, same dot shapes per row), detects per-channel winners
+# by exact equality against the saved raw per-center max, and routes the
+# output cotangent through the MLP chain:
+#
+#     d_table_a[j]  += sum over (center k, channel c) winners of
+#                      relu-chain backprop of g[k, c]
+#     d_table_b[k]  -= (the same flow, summed over the block's rows)
+#     d_w, d_b      += standard dense-layer cotangents
+#
+# Double-count safety: forward tiles may overfetch rows of NEIGHBORING
+# cell columns (harmless under max), so the backward masks each tile to
+# the current column's exact [lo, hi) row span — every candidate row is
+# visited exactly once per center block.  Accumulation into d_table_a
+# (shared across center blocks) and d_w (shared across all programs)
+# relies on the TPU grid executing sequentially ("arbitrary" dimension
+# semantics).
+#
+# Tie semantics: every candidate matching the channel max receives the
+# full cotangent (jnp.max splits it evenly); exact float ties are
+# vanishing for real activations, and either convention is a valid
+# subgradient.
+#
+# Coordinates (src_xyz / ctr_xyz) get zero cotangent: they enter the
+# kernel only through the radius indicator (graph structure, non-diff —
+# the same convention as the edge-list path, where edges are integer
+# indices).  The xyz -> table_a/table_b linear terms remain
+# differentiable OUTSIDE the kernel (layers.py algebraic fold).
+# ---------------------------------------------------------------------------
+
+
+def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
+                     g_ref, acc_ref, *rest, num_weights: int, bk: int,
+                     tile: int, h: int, h_pad: int, grid_g: int,
+                     radius: float, compute_dtype: str):
+    cdt = jnp.dtype(compute_dtype)
+    weight_refs = rest[:num_weights]
+    table_a_ref, src_xyz_ref = rest[num_weights:num_weights + 2]
+    # rest[num_weights + 2] is the aliased d_table_a INPUT placeholder;
+    # read/write goes through the aliased OUTPUT ref below.
+    da_out_ref = rest[num_weights + 3]
+    db_out_ref = rest[num_weights + 4]
+    dw_refs = rest[num_weights + 5:num_weights + 5 + num_weights]
+    scratch = rest[num_weights + 5 + num_weights:]
+    a_tile, x_tile, da_tile, sems = scratch
+    ncells = grid_g * grid_g
+    i = pl.program_id(0)
+    row = i % 8
+    r2 = radius * radius
+    h_out = acc_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init_shared():
+        for ref in dw_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    def minmax_body(j, carry):
+        cm, cM = carry
+        c = ccell_ref[row, j]
+        valid = c < ncells
+        return (
+            jnp.where(valid, jnp.minimum(cm, c), cm),
+            jnp.where(valid, jnp.maximum(cM, c), cM),
+        )
+
+    cmin, cmax = jax.lax.fori_loop(
+        0, bk, minmax_body, (jnp.int32(2 ** 30), jnp.int32(-1))
+    )
+
+    b = table_b_ref[:]
+    b_rows = jnp.concatenate(
+        [jnp.broadcast_to(b[c:c + 1, :], (tile, h)) for c in range(bk)],
+        axis=0,
+    ).astype(cdt)
+    ctr3 = ctr_xyz_ref[:][:, :3]
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    axes_rows = [
+        (lane3 == ax).astype(jnp.float32) for ax in range(3)
+    ]
+    acc_rows = acc_ref[:]   # [bk, h_out] raw forward max
+    g_rows = g_ref[:]       # [bk, h_out] cotangent
+
+    n_layers = num_weights // 2
+
+    def tile_compute(off, lo, hi, carry):
+        db_acc, dw_accs = carry
+        cp_a = pltpu.make_async_copy(
+            table_a_ref.at[pl.ds(off, tile), :], a_tile, sems.at[0]
+        )
+        cp_x = pltpu.make_async_copy(
+            src_xyz_ref.at[pl.ds(off, tile), :], x_tile, sems.at[1]
+        )
+        cp_a.start()
+        cp_x.start()
+        cp_a.wait()
+        cp_x.wait()
+        x3 = x_tile[:][:, :3]
+        d2 = jnp.zeros((bk, tile), jnp.float32)
+        for ax in range(3):
+            rrow = jax.lax.dot_general(
+                axes_rows[ax], x3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            diff = rrow - ctr3[:, ax:ax + 1]
+            d2 = d2 + diff * diff
+        mask = d2 <= r2
+        # exact column span: forward overfetch (aligned tiles spilling
+        # into neighboring columns) is idempotent under max but would
+        # double-route cotangents here
+        row_global = off + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )
+        in_span = (row_global >= lo) & (row_global < hi)
+        mask = mask & in_span
+
+        # ---- forward recompute, keeping activations -----------------
+        a_cd = a_tile[:][:, :h].astype(cdt)
+        a_rep = jnp.concatenate([a_cd] * bk, axis=0)
+        x0 = jnp.maximum(a_rep - b_rows, 0.0)
+        acts = [x0]
+        x = x0
+        for wi in range(0, num_weights, 2):
+            w = weight_refs[wi][:]
+            bb = weight_refs[wi + 1][:]
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + bb, 0.0)
+            if wi + 2 < num_weights:
+                x = x.astype(cdt)
+            acts.append(x)
+        y = acts[-1].astype(jnp.float32)
+
+        # ---- winner detection + cotangent routing -------------------
+        y3 = y.reshape(bk, tile, h_out)
+        winner = (y3 == acc_rows[:, None, :]) & mask[:, :, None]
+        dy = (
+            g_rows[:, None, :] * winner.astype(jnp.float32)
+        ).reshape(bk * tile, h_out)
+        new_dw = list(dw_accs)
+        for li in range(n_layers - 1, -1, -1):
+            wi = 2 * li
+            x_l = acts[li + 1]
+            x_prev = acts[li]
+            dz = dy * (x_l > 0).astype(jnp.float32)
+            dw = jax.lax.dot_general(
+                x_prev.astype(jnp.float32), dz,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db = jnp.sum(dz, axis=0, keepdims=True)
+            new_dw[wi] = new_dw[wi] + dw
+            new_dw[wi + 1] = new_dw[wi + 1] + db
+            w = weight_refs[wi][:].astype(jnp.float32)
+            dy = jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dab = dy * (x0 > 0).astype(jnp.float32)  # [bk*tile, h] f32
+        dab3 = dab.reshape(bk, tile, h)
+        da_contrib = jnp.sum(dab3, axis=0)       # [tile, h]
+        db_contrib = -jnp.sum(dab3, axis=1)      # [bk, h]
+
+        # ---- read-modify-write d_table_a tile (sequential grid) -----
+        cp_in = pltpu.make_async_copy(
+            da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
+        )
+        cp_in.start()
+        cp_in.wait()
+        da_tile[:] = da_tile[:] + jnp.pad(
+            da_contrib, ((0, 0), (0, h_pad - h))
+        )
+        cp_out = pltpu.make_async_copy(
+            da_tile, da_out_ref.at[pl.ds(off, tile), :], sems.at[2]
+        )
+        cp_out.start()
+        cp_out.wait()
+        return db_acc + db_contrib, tuple(new_dw)
+
+    def col_body(col, carry):
+        x0c = jnp.maximum(cmin // grid_g - 1, 0)
+        xc = x0c + col
+
+        def zscan(j, zcarry):
+            zlo, zhi = zcarry
+            cc = ccell_ref[row, j]
+            xj = cc // grid_g
+            zj = cc % grid_g
+            use = (cc < ncells) & (jnp.abs(xj - xc) <= 1)
+            return (
+                jnp.where(use, jnp.minimum(zlo, zj), zlo),
+                jnp.where(use, jnp.maximum(zhi, zj), zhi),
+            )
+
+        zlo, zhi = jax.lax.fori_loop(
+            0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
+        )
+        zlo_c = jnp.maximum(zlo - 1, 0)
+        zhi_c = jnp.minimum(zhi + 1, grid_g - 1)
+        lo = offsets_ref[xc * grid_g + zlo_c]
+        hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
+        hi = jnp.where(zhi >= 0, hi_raw, lo)
+        base = (lo // tile) * tile
+        span = hi - base
+        nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
+
+        def t_body(t, tcarry):
+            return tile_compute(base + t * tile, lo, hi, tcarry)
+
+        return jax.lax.fori_loop(0, nt, t_body, carry)
+
+    dw0 = tuple(
+        jnp.zeros(ref.shape, jnp.float32) for ref in dw_refs
+    )
+    db0 = jnp.zeros((bk, h), jnp.float32)
+    x0c = jnp.maximum(cmin // grid_g - 1, 0)
+    x1c = jnp.minimum(cmax // grid_g + 1, grid_g - 1)
+    ncols = jnp.where(cmax >= 0, x1c - x0c + 1, 0)
+    db_final, dw_final = jax.lax.fori_loop(
+        0, ncols, col_body, (db0, dw0)
+    )
+    db_out_ref[:] = db_final
+    for ref, val in zip(dw_refs, dw_final):
+        ref[:] = ref[:] + val
+
+
+def _slab_backward(
+    table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
+    raw_acc, g, grid_g, radius, block_centers, tile, interpret,
+    compute_dtype,
+):
+    k, h = table_b.shape[0], table_a.shape[1]
+    p = table_a.shape[0]
+    bk = _pick_bk(k, block_centers, "slab_edge_max (backward)")
+    table_a_p, src_xyz_p, weight_args, h_pad = _slab_prep(
+        table_a, src_xyz, weights, tile, h, compute_dtype
+    )
+    da_init = jnp.zeros((p + tile, h_pad), jnp.float32)
+
+    grid = (k // bk,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # offsets
+        pl.BlockSpec((8, bk), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),                    # cells
+        pl.BlockSpec((bk, h), lambda i: (i, 0)),                  # table_b
+        pl.BlockSpec((bk, 4), lambda i: (i, 0)),                  # ctr_xyz
+        pl.BlockSpec((bk, raw_acc.shape[1]), lambda i: (i, 0)),   # g
+        pl.BlockSpec((bk, raw_acc.shape[1]), lambda i: (i, 0)),   # acc
+    ]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args
+    ]
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),                        # table_a
+        pl.BlockSpec(memory_space=pl.ANY),                        # src_xyz
+        pl.BlockSpec(memory_space=pl.ANY),                        # da_init
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                        # d_table_a
+        pl.BlockSpec((bk, h), lambda i: (i, 0)),                  # d_table_b
+    ]
+    out_specs += [
+        pl.BlockSpec(
+            wa.shape, lambda i: tuple(0 for _ in wa.shape)
+        )
+        for wa in weight_args                                     # d_weights
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((p + tile, h_pad), jnp.float32),
+        jax.ShapeDtypeStruct((k, h), jnp.float32),
+    ] + [
+        jax.ShapeDtypeStruct(wa.shape, jnp.float32)
+        for wa in weight_args
+    ]
+    kernel = functools.partial(
+        _slab_bwd_kernel,
+        num_weights=len(weight_args),
+        bk=bk, tile=tile, h=h, h_pad=h_pad, grid_g=grid_g,
+        radius=float(radius), compute_dtype=compute_dtype,
+    )
+    n_in_before_da = 6 + len(weight_args) + 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        input_output_aliases={n_in_before_da: 0},
+        scratch_shapes=[
+            pltpu.VMEM((tile, h_pad), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.VMEM((tile, h_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
+      g, raw_acc, *weight_args, table_a_p, src_xyz_p, da_init)
+    d_table_a = outs[0][:p, :h]
+    d_table_b = outs[1]
+    d_weights = []
+    for idx, wb in enumerate(weights):
+        dwa = outs[2 + idx]
+        if idx % 2 == 1:
+            dwa = dwa.reshape(wb.shape)
+        d_weights.append(dwa.astype(wb.dtype))
+    return d_table_a, d_table_b, tuple(d_weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _slab_train_p(
+    table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
+    grid_g, radius, block_centers, tile, interpret, compute_dtype,
+):
+    # All array inputs are PRIMALS (never close over tracers in a
+    # custom_vjp — it leaks them across the remat/jit trace boundary);
+    # only hashable statics ride nondiff_argnums.
+    return _slab_forward(
+        table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+        weights, grid_g, radius, block_centers, tile, interpret,
+        compute_dtype, clamp_out=True,
+    )
+
+
+def _slab_train_fwd(
+    table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
+    grid_g, radius, block_centers, tile, interpret, compute_dtype,
+):
+    raw = _slab_forward(
+        table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+        weights, grid_g, radius, block_centers, tile, interpret,
+        compute_dtype, clamp_out=False,
+    )
+    out = jnp.where(raw > NEG / 2, raw, 0.0)
+    res = (table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+           weights, raw)
+    return out, res
+
+
+def _slab_train_bwd(
+    grid_g, radius, block_centers, tile, interpret, compute_dtype,
+    res, g,
+):
+    import numpy as _np
+
+    (table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+     weights, raw) = res
+    d_ta, d_tb, d_ws = _slab_backward(
+        table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+        weights, raw, g.astype(jnp.float32), grid_g, radius,
+        block_centers, tile, interpret, compute_dtype,
+    )
+    float0 = jax.dtypes.float0
+    return (
+        d_ta.astype(table_a.dtype),
+        jnp.zeros_like(src_xyz),            # structure only
+        d_tb.astype(table_b.dtype),
+        jnp.zeros_like(ctr_xyz),            # structure only
+        _np.zeros(offsets.shape, float0),   # int32: float0 cotangent
+        _np.zeros(center_cell.shape, float0),
+        d_ws,
+    )
+
+
+_slab_train_p.defvjp(_slab_train_fwd, _slab_train_bwd)
+
+
+def slab_edge_max_train(
+    table_a,
+    src_xyz,
+    table_b,
+    ctr_xyz,
+    offsets,
+    center_cell,
+    weights: Tuple,
+    grid_g: int,
+    radius: float,
+    block_centers: int = 8,
+    tile: int = 128,
+    interpret: bool = False,
+    compute_dtype: str = "bfloat16",
+):
+    """Differentiable :func:`slab_edge_max` for the training path.
+
+    Same forward semantics (exact uncapped radius graph, fused edge MLP
+    + per-center max); gradients flow to ``table_a``/``table_b``/
+    ``weights`` via the recompute-in-backward kernel above.  Coordinates
+    and cell metadata get zero cotangent (graph structure).  Uses a
+    smaller default center block (8) than inference: the backward keeps
+    per-layer activations for a whole (bk*tile)-row tile in VMEM.
+    """
+    return _slab_train_p(
+        table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
+        tuple(weights), grid_g, radius, block_centers, tile, interpret,
+        compute_dtype,
+    )

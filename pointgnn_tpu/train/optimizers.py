@@ -68,14 +68,13 @@ def build_from_train_config(train_config: dict):
         train_config.get("optimizer_kwargs"),
     )
     if (
-        train_config.get(
-            "is_pseudo_batch", "pseudo_batch_factor" in train_config
-        )
+        train_config.get("is_pseudo_batch", False)
         and train_config.get("pseudo_batch_factor", 0) > 1
     ):
         # gradient accumulation ("pseudo batch", train.py:559-575);
-        # like the reference, an explicit is_pseudo_batch=false wins
-        # over a configured factor
+        # the reference defaults is_pseudo_batch to False
+        # (train.py:559), so a config carrying only a factor does NOT
+        # accumulate — match that exactly
         opt = optax.MultiSteps(
             opt, every_k_schedule=train_config["pseudo_batch_factor"]
         )

@@ -24,8 +24,9 @@ def main():
     parser.add_argument(
         "-l", "--level", type=int, default=0,
         help="Visualization level: 0 off, >=1 writes detection overlays "
-        "and BEV plots to OUTPUT_DIR/vis (headless PNGs instead of the "
-        "reference's Open3D windows)",
+        "and BEV plots to OUTPUT_DIR/vis, >=2 additionally renders 3D "
+        "views (interactive Open3D windows when open3d is importable, "
+        "saved renders / BEV fallbacks otherwise)",
     )
     parser.add_argument(
         "--fast", dest="fast", action="store_true", default=False,

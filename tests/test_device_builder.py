@@ -165,3 +165,82 @@ def test_radius_edges_approx_topk_cpu_fallback_parity():
     sa = np.asarray(sa).reshape(512, -1)
     for r1, r2 in zip(se, sa):
         assert set(r1[r1 < 512]) == set(r2[r2 < 512])
+
+
+def test_overflow_counters_and_warnings():
+    """Over-capacity frames must not truncate silently (pad.py warns on
+    the host path; the device path surfaces drops via pack_points /
+    host_overflow_stats / build_padded_graph counters)."""
+    import warnings
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=256, num_keypoints=64,
+        cell_caps=(8, 8), per_center_caps=(4, 4),
+    )
+    xyz = _cloud(500, seed=3)  # 500 points > 256 capacity
+    attr = np.ones((500, 1), np.float32)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        db.pack_points(xyz, attr, spec.num_points)
+        assert any("point overflow" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        db.pad_points(xyz, attr, spec.num_points)
+        assert any("point overflow" in str(x.message) for x in w)
+
+    stats = db.host_overflow_stats(xyz, spec)
+    assert stats["points_dropped"] == 500 - 256
+    assert stats["voxels_occupied"] > 64
+    assert stats["keypoints_dropped"] == stats["voxels_occupied"] - 64
+
+    # dense cluster: 256 points inside a 3m cube saturates the tiny
+    # per-center caps (4 neighbors) and cell caps (8 slots)
+    dense = (
+        np.random.default_rng(7).uniform(0, 3, (256, 3)).astype(np.float32)
+    )
+    p_xyz, p_attr, p_mask = db.pad_points(dense, attr[:256], 256)
+    graph, counters = jax.jit(
+        lambda x, a, m: db.build_padded_graph(
+            x, a, m, spec, return_counters=True
+        )
+    )(p_xyz, p_attr, p_mask)
+    counters = {k: int(v) for k, v in counters.items()}
+    # device-side voxel accounting agrees with the host estimate on the
+    # kept points
+    kept_stats = db.host_overflow_stats(dense, spec)
+    assert counters["voxels_occupied"] == kept_stats["voxels_occupied"]
+    assert counters["keypoints_dropped"] == kept_stats["keypoints_dropped"]
+    # tiny caps on a dense cloud must show saturation somewhere
+    assert (
+        counters["l0_saturated_centers"] > 0
+        or counters["l0_cell_overflow_sources"] > 0
+    )
+    for key in (
+        "l1_saturated_centers", "l1_cell_overflow_sources",
+    ):
+        assert counters[key] >= 0
+
+
+def test_pipeline_accumulates_overflow_counters():
+    from pointgnn_tpu.infer import InferencePipeline
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=512, num_keypoints=128,
+        cell_caps=(8, 16), per_center_caps=(8, 16),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_merge=False, use_box_score=False,
+    )
+    points, _ = synthetic_lidar_frame(seed=0)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pipe.run_frame(points)
+        assert any("overflow" in str(x.message) for x in w)
+    assert pipe.overflow_counters["points_dropped"] > 0

@@ -129,3 +129,63 @@ def test_jax_decode_matches_numpy(rng):
     np.testing.assert_allclose(
         np.asarray(dec_jax), dec_np[:, 0, :], rtol=2e-5, atol=2e-5
     )
+
+
+# --------------------------------------------------------------------------
+# Device-decoder dispatch: get_decode_jax must match the host decoder for
+# EVERY registered encoding (the fused inference path was previously
+# hardwired to classaware semantics; reference dispatch
+# box_encoding.py:469-502).
+# --------------------------------------------------------------------------
+
+_DEVICE_DECODE_IDS = {
+    "direct_encoding": (0, 1, 2, 3),
+    "center_box_encoding": (0, 1, 2, 3),
+    "voxelnet_box_encoding": (0, 1, 2, 3),
+    "classaware_voxelnet_box_encoding": (0, 1, 2, 3, 4, 5, 6, 7),
+    "classaware_all_class_box_encoding": (0, 1, 3, 5, 7, 9, 11, 13, 15, 17),
+    "classaware_all_class_box_canonical_encoding":
+        (0, 1, 3, 5, 7, 9, 11, 13, 15, 17),
+}
+
+
+@pytest.mark.parametrize("method", sorted(_DEVICE_DECODE_IDS))
+def test_device_decode_matches_host(rng, method):
+    import jax
+
+    n = 512
+    ids = _DEVICE_DECODE_IDS[method]
+    cls_labels = rng.choice(ids, (n, 1))
+    points_xyz = (rng.random_sample((n, 3)) * 10).astype(np.float32)
+    encoded = (rng.random_sample((n, 7)).astype(np.float32) - 0.5) * 2
+    host_fn = E.get_box_decoding_fn(method)
+    if method.startswith("classaware"):
+        host = host_fn(
+            cls_labels, points_xyz, encoded[:, None, :].astype(np.float64),
+            LABEL_MAP_8,
+        )[:, 0, :]
+    else:
+        host = host_fn(
+            cls_labels[:, 0], points_xyz, encoded.astype(np.float64),
+            LABEL_MAP_8,
+        )
+    dev_fn = E.get_decode_jax(method, LABEL_MAP_8)
+    dev = np.asarray(
+        jax.jit(dev_fn)(
+            cls_labels[:, 0].astype(np.int32), points_xyz, encoded
+        )
+    )
+    np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_uses_config_decoder():
+    """InferencePipeline binds the decoder matching the config's
+    box_encoding_method instead of assuming classaware."""
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.infer import InferencePipeline
+
+    cfg = configs.model_config("Car", T=1)
+    cfg = dict(cfg, box_encoding_method=
+               "classaware_all_class_box_canonical_encoding")
+    pipe = InferencePipeline(cfg, use_box_merge=False, use_box_score=False)
+    assert pipe.decode_jax.func is E.classaware_canonical_decode_jax

@@ -236,3 +236,26 @@ def test_postprocess_softmax(model_and_graph):
     logits, _ = jax.jit(model.apply)(params, g)
     probs = np.asarray(model.postprocess(logits))
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_bn_config_refused_at_test_mode():
+    """BN moving averages are unimplemented: a BN config must be
+    refused at mode='test' instead of silently evaluating with batch
+    statistics (wrong slim eval semantics)."""
+    import pytest as _pytest
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.model.pointgnn import PointGNN
+
+    cfg = configs.model_config("Car", T=1)
+    layer_configs = [dict(c, kwargs=dict(c["kwargs"]))
+                     for c in cfg["model_kwargs"]["layer_configs"]]
+    for key in list(layer_configs[0]["kwargs"]):
+        if key.endswith("normalization_type"):
+            layer_configs[0]["kwargs"][key] = "fused_BN_center"
+    with _pytest.raises(NotImplementedError, match="moving averages"):
+        PointGNN(num_classes=4, box_encoding_len=7,
+                 layer_configs=layer_configs, mode="test")
+    # train mode keeps working (reference training uses batch stats)
+    PointGNN(num_classes=4, box_encoding_len=7,
+             layer_configs=layer_configs, mode="train")

@@ -403,3 +403,321 @@ def test_slab_pipeline_matches_edge_pipeline():
     d = np.abs(probs[False][ie] - probs[True][js])
     assert d.max() < 5e-2, d.max()
     assert d.mean() < 1e-3, d.mean()
+
+
+def test_slab_edge_max_train_grad_parity():
+    """Custom-VJP slab kernel vs a dense all-pairs JAX reference:
+    forward AND gradients (d_table_a, d_table_b, d_weights) must match
+    on the exact uncapped radius graph (interpret mode, f32 compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import NEG, slab_edge_max_train
+
+    rng = np.random.default_rng(1)
+    K, H, g, r = 128, 32, 8, 2.0
+    tile, bk = 32, 8
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[120:] = False
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = np.where(valid, cx * g + cz, g * g)
+    order = np.argsort(cell, kind="stable")
+    xyz, cell, valid = xyz[order], cell[order], valid[order]
+    offsets = np.searchsorted(cell, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    src4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    src4[~valid] = 1e6
+    ctr4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    ctr4[~valid] = -1e6
+    cot = rng.normal(size=(K, H)).astype(np.float32)
+    src4j, ctr4j = jnp.asarray(src4), jnp.asarray(ctr4)
+    offs, cellj = jnp.asarray(offsets), jnp.asarray(cell.astype(np.int32))
+    cotj = jnp.asarray(cot)
+
+    def kernel_loss(A, B, w1, b1):
+        out = slab_edge_max_train(
+            A, src4j, B, ctr4j, offs, cellj, (w1, b1),
+            grid_g=g, radius=r, block_centers=bk, tile=tile,
+            interpret=True, compute_dtype="float32",
+        )
+        return jnp.sum(out * cotj), out
+
+    def dense_loss(A, B, w1, b1):
+        d2 = jnp.sum(
+            (src4j[None, :, :3] - ctr4j[:, None, :3]) ** 2, axis=-1
+        )
+        mask = d2 <= r * r
+        x = jnp.maximum(A[None, :, :] - B[:, None, :], 0.0)
+        x = jnp.maximum(
+            jnp.einsum("kph,hj->kpj", x, w1) + b1, 0.0
+        )
+        x = jnp.where(mask[:, :, None], x, NEG)
+        acc = jnp.max(x, axis=1)
+        out = jnp.where(acc > NEG / 2, acc, 0.0)
+        return jnp.sum(out * cotj), out
+
+    (lk, out_k), gk = jax.value_and_grad(
+        kernel_loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(jnp.asarray(A), jnp.asarray(B), jnp.asarray(w1), jnp.asarray(b1))
+    (ld, out_d), gd = jax.value_and_grad(
+        dense_loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(jnp.asarray(A), jnp.asarray(B), jnp.asarray(w1), jnp.asarray(b1))
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_d), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(lk), float(ld), rtol=1e-5)
+    names = ("d_table_a", "d_table_b", "d_w1", "d_b1")
+    for name, a, b_ in zip(names, gk, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_slab_edge_max_train_forward_matches_inference_kernel():
+    """The differentiable wrapper's forward must equal slab_edge_max."""
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import (
+        slab_edge_max, slab_edge_max_train,
+    )
+
+    rng = np.random.default_rng(2)
+    K, H, g, r = 128, 32, 8, 2.0
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = (cx * g + cz)
+    order = np.argsort(cell, kind="stable")
+    xyz, cell = xyz[order], cell[order]
+    offsets = np.searchsorted(cell, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.2).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    src4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    args = (
+        jnp.asarray(A), jnp.asarray(src4), jnp.asarray(B),
+        jnp.asarray(src4), jnp.asarray(offsets),
+        jnp.asarray(cell.astype(np.int32)),
+        (jnp.asarray(w1), jnp.asarray(b1)),
+    )
+    kw = dict(grid_g=g, radius=r, block_centers=8, tile=32,
+              interpret=True, compute_dtype="float32")
+    out_inf = np.asarray(slab_edge_max(*args, **kw))
+    out_tr = np.asarray(slab_edge_max_train(*args, **kw))
+    np.testing.assert_array_equal(out_inf, out_tr)
+
+
+def _cell_sort(xyz, g, r):
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = cx * g + cz
+    order = np.argsort(cell, kind="stable")
+    offsets = np.searchsorted(
+        cell[order], np.arange(g * g + 1)
+    ).astype(np.int32)
+    return order, cell[order].astype(np.int32), offsets
+
+
+def test_gnn_slab_train_grads_match_edge_path(rng):
+    """GraphNetAutoCenter in train-mode slab (custom-VJP kernel) vs the
+    edge-list segment path on the same UNCAPPED radius graph: parameter
+    and feature gradients must agree (f32, CPU interpret)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import GraphNetAutoCenter
+
+    K, C, g, r = 64, 16, 8, 2.0
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    order, cell, offsets = _cell_sort(xyz, g, r)
+    xyz = xyz[order]
+    feats = rng.randn(K, C).astype(np.float32)
+    # uncapped radius edges, globally dst-sorted (host convention)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    dst_l, src_l = np.nonzero(d2 <= r * r)  # nonzero is row-major: dst sorted
+    src = jnp.asarray(src_l.astype(np.int32))
+    dst = jnp.asarray(dst_l.astype(np.int32))
+
+    layer = GraphNetAutoCenter("max")
+    kw = dict(
+        edge_MLP_depth_list=[16, 16],
+        update_MLP_depth_list=[16, 16],
+        auto_offset=True,
+        auto_offset_MLP_depth_list=[8, 3],
+        edge_MLP_normalization_type="NONE",
+        update_MLP_normalization_type="NONE",
+        auto_offset_MLP_normalization_type="NONE",
+    )
+    params = layer.init(jax.random.PRNGKey(0), C, **kw)
+    cot = jnp.asarray(rng.randn(K, C).astype(np.float32))
+    xyz_j = jnp.asarray(xyz)
+    slab = {
+        "grid_g": g, "radius": r, "train": True,
+        "offsets": jnp.asarray(offsets),
+        "center_cell": jnp.asarray(cell),
+    }
+    dummy = jnp.zeros((1,), jnp.int32)
+
+    def loss_edge(params, feats):
+        out = layer.apply(params, feats, xyz_j, src, dst, **kw)
+        return jnp.sum(out * cot)
+
+    def loss_slab(params, feats):
+        out = layer.apply(
+            params, feats, xyz_j, dummy, dummy, slab=slab, **kw
+        )
+        return jnp.sum(out * cot)
+
+    le, ge = jax.value_and_grad(loss_edge, argnums=(0, 1))(
+        params, jnp.asarray(feats)
+    )
+    ls, gs = jax.value_and_grad(loss_slab, argnums=(0, 1))(
+        params, jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(float(le), float(ls), rtol=1e-5)
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(ge)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(gs)
+    for (pe, ae), (ps, as_) in zip(flat_e, flat_s):
+        assert pe == ps
+        np.testing.assert_allclose(
+            np.asarray(ae), np.asarray(as_), rtol=5e-4, atol=5e-4,
+            err_msg=str(pe),
+        )
+
+
+def test_psp_slab_train_grads_match_edge_path(rng):
+    """PointSetPooling train-mode slab vs the edge-list path on the
+    same uncapped radius graph (raw points -> keypoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import PointSetPooling
+
+    P, K, C, g, r = 160, 64, 4, 8, 2.0
+    pxyz = np.stack(
+        [rng.uniform(0, 14, P), rng.uniform(-1, 1, P),
+         rng.uniform(0, 14, P)], 1
+    ).astype(np.float32)
+    order, pcell, offsets = _cell_sort(pxyz, g, r)
+    pxyz = pxyz[order]
+    kp = np.sort(rng.choice(P, K, replace=False))
+    kxyz = pxyz[kp]
+    kcell_order, kcell, _ = _cell_sort(kxyz, g, r)
+    kxyz = kxyz[kcell_order]
+    feats = rng.randn(P, C).astype(np.float32)
+    d2 = ((kxyz[:, None, :] - pxyz[None, :, :]) ** 2).sum(-1)
+    dst_l, src_l = np.nonzero(d2 <= r * r)  # dst (=centers) sorted
+    src = jnp.asarray(src_l.astype(np.int32))
+    dst = jnp.asarray(dst_l.astype(np.int32))
+
+    layer = PointSetPooling("max")
+    kw = dict(
+        point_MLP_depth_list=[8, 16],
+        output_MLP_depth_list=[16, 16],
+        point_MLP_normalization_type="NONE",
+        output_MLP_normalization_type="NONE",
+    )
+    params = layer.init(jax.random.PRNGKey(1), C, **kw)
+    cot = jnp.asarray(rng.randn(K, 16).astype(np.float32))
+    slab = {
+        "grid_g": g, "radius": r, "train": True,
+        "offsets": jnp.asarray(offsets),
+        "center_cell": jnp.asarray(kcell),
+    }
+    dummy = jnp.zeros((1,), jnp.int32)
+    pxyz_j, kxyz_j = jnp.asarray(pxyz), jnp.asarray(kxyz)
+
+    def loss_edge(params, feats):
+        out = layer.apply(params, feats, pxyz_j, kxyz_j, src, dst, **kw)
+        return jnp.sum(out * cot)
+
+    def loss_slab(params, feats):
+        out = layer.apply(
+            params, feats, pxyz_j, kxyz_j, dummy, dummy,
+            slab=slab, **kw
+        )
+        return jnp.sum(out * cot)
+
+    le, ge = jax.value_and_grad(loss_edge, argnums=(0, 1))(
+        params, jnp.asarray(feats)
+    )
+    ls, gs = jax.value_and_grad(loss_slab, argnums=(0, 1))(
+        params, jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(float(le), float(ls), rtol=1e-5)
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(ge)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(gs)
+    for (pe, ae), (ps, as_) in zip(flat_e, flat_s):
+        assert pe == ps
+        np.testing.assert_allclose(
+            np.asarray(ae), np.asarray(as_), rtol=5e-4, atol=5e-4,
+            err_msg=str(pe),
+        )
+
+
+def test_slab_train_under_jit_and_remat(rng):
+    """The custom VJP must survive jax.jit + jax.checkpoint (the
+    production train step wraps every layer in remat) — closing over
+    tracers inside the custom_vjp leaked across this boundary once."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.layers import GraphNetAutoCenter
+
+    K, C, g, r = 64, 8, 8, 2.0
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    order, cell, offsets = _cell_sort(xyz, g, r)
+    xyz = xyz[order]
+    feats = rng.randn(K, C).astype(np.float32)
+    layer = GraphNetAutoCenter("max")
+    kw = dict(
+        edge_MLP_depth_list=[8, 8],
+        update_MLP_depth_list=[8, 8],
+        edge_MLP_normalization_type="NONE",
+        update_MLP_normalization_type="NONE",
+    )
+    params = layer.init(jax.random.PRNGKey(0), C, **kw)
+    slab = {
+        "grid_g": g, "radius": r, "train": True,
+        "offsets": jnp.asarray(offsets),
+        "center_cell": jnp.asarray(cell),
+    }
+    dummy = jnp.zeros((1,), jnp.int32)
+    xyz_j = jnp.asarray(xyz)
+
+    @jax.jit
+    def loss(params, feats, xyz_arr, offs, cells):
+        sl = dict(slab, offsets=offs, center_cell=cells)
+
+        def run(p, f):
+            return layer.apply(p, f, xyz_arr, dummy, dummy, slab=sl, **kw)
+
+        out = jax.checkpoint(run)(params, feats)
+        return jnp.sum(out ** 2)
+
+    val, grads = jax.value_and_grad(loss)(
+        params, jnp.asarray(feats), xyz_j,
+        jnp.asarray(offsets), jnp.asarray(cell),
+    )
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)

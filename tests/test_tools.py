@@ -235,3 +235,35 @@ def test_synthetic_kitti_ped_cyl_classes(tmp_path):
     hist = np.bincount(labels, minlength=6)
     assert hist[1] + hist[2] > 0, "no pedestrian points labeled"
     assert hist[3] + hist[4] > 0, "no cyclist points labeled"
+
+
+def test_interactive_viewers_headless_fallback(tmp_path):
+    """Without open3d, the interactive viewers must degrade to the
+    headless PNG writers (reference Open3D debug views,
+    kitti_dataset.py:1286-1395 / crop_aug.py:211-243)."""
+    import numpy as np
+
+    from pointgnn_tpu.utils import interactive
+
+    rng = np.random.RandomState(0)
+    xyz = rng.rand(200, 3).astype(np.float32) * 10
+    box = np.array([5.0, 1.0, 5.0, 2.0, 1.5, 1.0, 0.3])
+    p1 = interactive.vis_points(
+        xyz, label_list=[{"name": "Car", "box": box}],
+        save_path=str(tmp_path / "pts.png"),
+    )
+    src = rng.randint(0, 200, 50)
+    dst = rng.randint(0, 200, 50)
+    p2 = interactive.vis_graph(
+        xyz, src, dst, save_path=str(tmp_path / "graph.png")
+    )
+    p3 = interactive.vis_detections(
+        xyz, [box], names=["Car"], save_path=str(tmp_path / "det.png")
+    )
+    p4 = interactive.vis_crop_aug(
+        xyz, xyz[:20] + 1.0, box, save_path=str(tmp_path / "crop.png")
+    )
+    import os
+
+    for p in (p1, p2, p3, p4):
+        assert p is not None and os.path.isfile(p), p

@@ -36,7 +36,16 @@ def main():
                         choices=["Car", "Pedestrian_and_Cyclist"])
     parser.add_argument("--min_ap", type=float, default=-1.0,
                         help="exit nonzero if the classes' mean 3D "
-                             "moderate AP is below (either path)")
+                             "moderate AP is below (either path); "
+                             "report-only by default — 3D-moderate "
+                             "sits on an IoU knife edge (PERF_NOTES)")
+    parser.add_argument("--min_bev_ap", type=float, default=70.0,
+                        help="exit nonzero if the classes' mean BEV "
+                             "moderate AP is below (either path). BEV "
+                             "is the stable acceptance signal (healthy "
+                             "runs score 90+; corrupted numerics "
+                             "collapse far below 70). Set negative to "
+                             "disable.")
     args = parser.parse_args()
 
     from make_synthetic_kitti import main as make_kitti
@@ -125,6 +134,7 @@ def main():
     # check that catches silent numeric corruption no random-weight
     # unit test can see (see docs/PERF_NOTES.md, sortedness trap)
     aps = {}
+    bev_aps = {}
     for fast in (False, True):
         pipeline = InferencePipeline(
             config,
@@ -148,11 +158,27 @@ def main():
         aps[label] = float(np.mean(
             [results.get(k, {}).get("ap", 0.0) for k in keys]
         ))
+        bev_keys = [
+            k for k in results if k.endswith("_bev_moderate")
+        ] or ["Car_bev_moderate"]
+        bev_aps[label] = float(np.mean(
+            [results.get(k, {}).get("ap", 0.0) for k in bev_keys]
+        ))
     print("3d_moderate AP (mean over classes): host %.2f, fast %.2f  "
           "(workdir %s)" % (aps["host"], aps["fast(on-device)"], work))
+    print("bev_moderate AP (mean over classes): host %.2f, fast %.2f"
+          % (bev_aps["host"], bev_aps["fast(on-device)"]))
+    failed = False
     ap = min(aps.values())
     if args.min_ap >= 0 and ap < args.min_ap:
-        print("FAIL: below --min_ap %.2f" % args.min_ap)
+        print("FAIL: 3D below --min_ap %.2f" % args.min_ap)
+        failed = True
+    bev = min(bev_aps.values())
+    if args.min_bev_ap >= 0 and bev < args.min_bev_ap:
+        print("FAIL: BEV %.2f below --min_bev_ap %.2f"
+              % (bev, args.min_bev_ap))
+        failed = True
+    if failed:
         sys.exit(1)
 
 
