@@ -89,6 +89,7 @@ def make_train_step(
     unify_copies: bool = True,
     num_levels: int = 2,
     with_metrics: bool = False,
+    graph_builder=None,
 ):
     """Build the jitted step.
 
@@ -99,6 +100,12 @@ def make_train_step(
     ``with_metrics`` adds the streaming-metric count updates of
     :mod:`pointgnn_tpu.train.metrics` (confusion + PR histograms) to the
     aux dict, computed on device and summed across the mesh.
+
+    ``graph_builder``: optional ``fn(batch_pytree) -> PaddedGraph``
+    applied per device shard before the loss — the on-device training
+    pipeline (graph construction + label assignment inside the step,
+    train/device_pipeline.py).  The step input is then the raw batch
+    pytree (one frame per device) instead of a stacked PaddedGraph.
     """
     loss_fn = make_loss_fn(model, loss_cfg, with_logits=with_metrics)
 
@@ -123,7 +130,10 @@ def make_train_step(
     if mesh is None:
 
         @jax.jit
-        def step(state: TrainState, graph: PaddedGraph):
+        def step(state: TrainState, batch):
+            # graph construction has no parameter dependence, so it sits
+            # outside the grad closure
+            graph = graph_builder(batch) if graph_builder else batch
             (_, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, graph)
@@ -133,8 +143,9 @@ def make_train_step(
 
         return step
 
-    def _spmd_grads(params, graph: PaddedGraph):
-        graph = jax.tree_util.tree_map(lambda x: x[0], graph)
+    def _spmd_grads(params, batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        graph = graph_builder(batch) if graph_builder else batch
         n_dev = jax.lax.psum(1, DATA_AXIS)
         if unify_copies:
             n_ep, n_val = _endpoint_counts(model, graph)
@@ -177,17 +188,22 @@ def make_train_step(
         out.update(metric_aux)
         return grads, out
 
-    graph_specs = PaddedGraph(
-        features=P(DATA_AXIS),
-        vertex_xyz=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
-        vertex_mask=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
-        keypoint_indices=tuple(P(DATA_AXIS) for _ in range(num_levels)),
-        edges_src=tuple(P(DATA_AXIS) for _ in range(num_levels)),
-        edges_dst=tuple(P(DATA_AXIS) for _ in range(num_levels)),
-        cls_labels=P(DATA_AXIS),
-        encoded_boxes=P(DATA_AXIS),
-        valid_boxes=P(DATA_AXIS),
-    )
+    if graph_builder is not None:
+        # raw batch pytree: every leaf carries a leading device axis
+        # (prefix spec broadcasts over the pytree like vmap in_axes)
+        batch_specs = P(DATA_AXIS)
+    else:
+        batch_specs = PaddedGraph(
+            features=P(DATA_AXIS),
+            vertex_xyz=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
+            vertex_mask=tuple(P(DATA_AXIS) for _ in range(num_levels + 1)),
+            keypoint_indices=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+            edges_src=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+            edges_dst=tuple(P(DATA_AXIS) for _ in range(num_levels)),
+            cls_labels=P(DATA_AXIS),
+            encoded_boxes=P(DATA_AXIS),
+            valid_boxes=P(DATA_AXIS),
+        )
     aux_specs = {k: P() for k in _SCALAR_KEYS}
     aux_specs.update({k: P(DATA_AXIS) for k in _PER_DEVICE_KEYS})
     if with_metrics:
@@ -198,13 +214,13 @@ def make_train_step(
     sharded_grads = shard_map(
         _spmd_grads,
         mesh=mesh,
-        in_specs=(P(), graph_specs),
+        in_specs=(P(), batch_specs),
         out_specs=(P(), aux_specs),
     )
 
     @jax.jit
-    def step(state: TrainState, graph: PaddedGraph):
-        grads, aux = sharded_grads(state.params, graph)
+    def step(state: TrainState, batch):
+        grads, aux = sharded_grads(state.params, batch)
         return _apply_updates(state, grads, aux)
 
     return step

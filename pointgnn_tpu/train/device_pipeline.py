@@ -1,0 +1,126 @@
+"""On-device training pipeline: host does IO + augmentation only.
+
+The host-graph pipeline (train/pipeline.py) reproduces the reference's
+``fetch_data`` — CPU graph construction, label assignment, and box
+encoding per frame (reference train.py:78-133).  This module moves
+everything after augmentation into the jitted train step:
+
+    host:   load -> crop-paste aug -> augment -> pack points (+labels)
+    device: voxel select -> radius graphs (or slab metadata) ->
+            label assignment -> box encoding -> loss/grads
+
+Per-frame host work drops from ~100ms of cKDTree/radius searches to
+packing two small arrays, the per-step H2D payload shrinks to the raw
+points (+ ~10KB of GT boxes), and with slab mode the step trains on the
+EXACT uncapped radius graph — the runtime semantics — removing the
+train/test neighbor-cap mismatch documented in docs/PERF_NOTES.md.
+"""
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from pointgnn_tpu.data.labels import LABEL_METHODS
+from pointgnn_tpu.graph import device_builder as db
+from pointgnn_tpu.graph import device_labels as dl
+
+
+class DeviceFrame(NamedTuple):
+    """One augmented frame, ready for the on-device train step."""
+
+    packed_points: np.ndarray   # [P, 3 + C] (device_builder.pack_points)
+    labels: dl.PackedLabels
+
+
+def build_device_fetch(spec):
+    """Host fetch closure for the device pipeline (FetchSpec with
+    ``device_spec`` set).  Mirrors pipeline.build_fetch up to
+    augmentation, then packs instead of building graphs."""
+    from pointgnn_tpu.data import augment
+    from pointgnn_tpu.infer import select_input_features
+
+    dataset = spec.dataset.build()
+    config, train_config = spec.config, spec.train_config
+    dspec = spec.device_spec
+    aug_fn = augment.get_data_aug(
+        () if spec.is_eval else train_config.get("data_aug_configs", ())
+    )
+    sampler = None
+    if not spec.is_eval and "crop_aug" in train_config:
+        from pointgnn_tpu.data.crop_aug import CropAugSampler
+
+        sampler = CropAugSampler(train_config["crop_aug"]["crop_filename"])
+    label_map, num_classes = LABEL_METHODS[config["label_method"]]
+    expend_factor = tuple(train_config.get("expend_factor", (1.0, 1.0, 1.0)))
+
+    def fetch(frame_idx: int, seed: Optional[int] = None) -> DeviceFrame:
+        rng = np.random.default_rng(seed)
+        points = dataset.get_cam_points_in_image_with_rgb(
+            frame_idx, config.get("downsample_by_voxel_size")
+        )
+        labels = dataset.get_label(frame_idx)
+        if sampler is not None:
+            points, labels = sampler.crop_aug(
+                points,
+                labels,
+                sample_rate=train_config["crop_aug"]["sample_rate"],
+                parser_kwargs=train_config["crop_aug"]["parser_kwargs"],
+                rng=rng,
+            )
+        points, labels = aug_fn(points, labels, rng=rng)
+        features = select_input_features(
+            points.attr, config["input_features"]
+        )
+        packed = db.pack_points(points.xyz, features, dspec.num_points)
+        plabels = dl.pack_frame_labels(
+            labels, label_map, num_classes, expend_factor
+        )
+        return DeviceFrame(packed, plabels)
+
+    return fetch
+
+
+def make_graph_builder(dspec, out_level: int, config):
+    """``graph_builder`` for parallel.step.make_train_step: one
+    DeviceFrame -> labeled PaddedGraph, entirely on device."""
+    label_map, _ = LABEL_METHODS[config["label_method"]]
+    encode_fn = dl.get_encode_jax(
+        config["box_encoding_method"], label_map
+    )
+
+    def build(frame: DeviceFrame):
+        pxyz, feats, mask = db.unpack_points(frame.packed_points)
+        graph = db.build_padded_graph(pxyz, feats, mask, dspec)
+        kp_xyz = graph.vertex_xyz[out_level]
+        kp_mask = graph.vertex_mask[out_level]
+        cls, target, valid = dl.assign_labels_jax(
+            kp_xyz, kp_mask, frame.labels
+        )
+        enc = encode_fn(cls, kp_xyz, target)
+        return graph._replace(
+            cls_labels=cls, encoded_boxes=enc, valid_boxes=valid
+        )
+
+    return build
+
+
+def stack_frames(frames) -> DeviceFrame:
+    """Stack DeviceFrames along a leading device axis for the mesh."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *frames
+    )
+
+
+def device_spec_for_training(config, tpu_settings: dict):
+    """Training-time DeviceGraphSpec: graph kwargs from the TRAIN
+    section (coarser voxels than runtime), capacities derived from the
+    family's frame capacity."""
+    cap = tpu_settings["frame_capacity"]
+    return db.spec_from_config(
+        config,
+        num_points=cap.vertices[0],
+        num_keypoints=cap.vertices[1],
+        runtime=False,
+    )

@@ -72,10 +72,20 @@ class FetchSpec(NamedTuple):
     config: Dict
     train_config: Dict
     is_eval: bool = False  # eval.py skips crop_aug (eval.py:68-117)
+    # set to a graph.device_builder.DeviceGraphSpec to switch the worker
+    # to the on-device pipeline (train/device_pipeline.py): the fetch
+    # then returns packed points + packed GT boxes instead of a host
+    # graph, and graph construction / label assignment / box encoding
+    # run inside the jitted train step.
+    device_spec: Optional[object] = None
 
 
 def build_fetch(spec: FetchSpec):
     """Instantiate the fetch closure from a spec (worker-side)."""
+    if spec.device_spec is not None:
+        from pointgnn_tpu.train.device_pipeline import build_device_fetch
+
+        return build_device_fetch(spec)
     dataset = spec.dataset.build()
     config, train_config = spec.config, spec.train_config
     aug_fn = augment.get_data_aug(

@@ -60,12 +60,55 @@ class Trainer:
         self.train_config = train_config
         self.num_frames = num_frames
         enc_len = encodings.get_encoding_len(config["box_encoding_method"])
+        # On-device pipeline (train_config["device_graph"] = true):
+        # graph construction + label assignment + box encoding move into
+        # the jitted step (train/device_pipeline.py); with slab (auto on
+        # TPU) the step trains on the exact uncapped radius graph via
+        # the custom-VJP slab kernels — no edge lists at all.
+        self.device_graph = bool(train_config.get("device_graph", False))
+        self.device_spec = None
+        self.graph_builder = None
+        model_extra = {}
+        if self.device_graph:
+            from pointgnn_tpu import configs as cfg_mod
+            from pointgnn_tpu.graph import device_builder as db
+            from pointgnn_tpu.train import device_pipeline as dpipe
+
+            tpu = cfg_mod.tpu_settings(config["label_method"])
+            dspec = train_config.get("device_graph_spec") or (
+                dpipe.device_spec_for_training(config, tpu)
+            )
+            slab = train_config.get("device_graph_slab", "auto")
+            if slab == "auto":
+                slab = jax.default_backend() == "tpu"
+            if slab:
+                dspec = dspec._replace(
+                    slab_level1=True, slab_level0=True
+                )
+                model_extra["slab_level1"] = {
+                    "grid_g": db.slab_grid_of(dspec.level1)[1],
+                    "radius": dspec.level1.radius,
+                }
+                model_extra["slab_level0"] = {
+                    "grid_g": db.slab_grid_of(dspec.level0)[1],
+                    "radius": dspec.level0.radius,
+                }
+            model_extra.update(edge_sentinel="src", edges_sorted=False)
+            self.device_spec = dspec
         self.model = get_model(config["model_name"])(
             num_classes=config["num_classes"],
             box_encoding_len=enc_len,
             mode="train",
+            **model_extra,
             **config["model_kwargs"],
         )
+        if self.device_graph:
+            self.graph_builder = dpipe.make_graph_builder(
+                self.device_spec, self.model.output_graph_level, config
+            )
+            fetch_spec = fetch_spec._replace(
+                device_spec=self.device_spec
+            )
         if capacity is None:
             from pointgnn_tpu import configs as cfg_mod
 
@@ -91,6 +134,13 @@ class Trainer:
             % (self.batch_size, self.n_devices)
         )
         self.frames_per_device = self.batch_size // self.n_devices
+        if self.device_graph and self.frames_per_device != 1:
+            raise ValueError(
+                "device_graph training packs one frame per device "
+                "(batch_size must equal the device count); host-graph "
+                "training supports frames_per_device > 1 via graph "
+                "union"
+            )
 
         self.optimizer, self.lr_schedule = opt_lib.build_from_train_config(
             train_config
@@ -103,6 +153,7 @@ class Trainer:
             unify_copies=train_config.get("unify_copies", True),
             num_levels=len(config["graph_gen_kwargs"]["level_configs"]),
             with_metrics=True,
+            graph_builder=self.graph_builder,
         )
         params = self.model.init(
             jax.random.PRNGKey(seed),
@@ -163,8 +214,10 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _device_batch(self, frame_indices) -> pad.PaddedGraph:
+    def _device_batch(self, frame_indices):
         frames = self.provider.provide_batch(frame_indices)
+        if self.device_graph:
+            return frames[0]  # one frame per device (asserted in init)
         return pad.batch_and_pad(frames, self.capacity, self._rng)
 
     def train_batch(self, frame_indices) -> Dict:

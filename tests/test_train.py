@@ -277,3 +277,88 @@ def test_trainer_profiler_trace(fetch_spec, tmp_path):
         assert found, "no profiler trace written under profile_dir"
     finally:
         trainer.close()
+
+
+# ---------------------------------------------------------------------------
+# on-device training pipeline (device_graph mode)
+# ---------------------------------------------------------------------------
+
+def _small_device_spec():
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=0)
+    return db.spec_from_config(
+        cfg, num_points=4096, num_keypoints=1024, runtime=False,
+        cell_caps=(16, 32), per_center_caps=(16, 64),
+    )
+
+
+def test_trainer_device_graph_single_device(fetch_spec, tmp_path):
+    """device_graph mode: graph + labels + encoding inside the jitted
+    step; loss is finite and decreases over repeated steps."""
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_devg"),
+            "batch_size": 1,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 1,
+            "max_steps": -1,
+            "initial_lr": 0.05,
+            "device_graph": True,
+            "device_graph_slab": False,  # slab = interpret-mode-slow on CPU
+            "device_graph_spec": _small_device_spec(),
+            "load_dataset_every_N_time": 1000,  # reuse the cached frame
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+    )
+    try:
+        losses = []
+        for _ in range(4):
+            aux = trainer.train_batch([0])
+            losses.append(float(np.asarray(aux["total_loss"])))
+        assert all(np.isfinite(l) for l in losses), losses
+        # same cached frame each step -> SGD must reduce the loss
+        assert losses[-1] < losses[0], losses
+    finally:
+        trainer.close()
+
+
+def test_trainer_device_graph_mesh(fetch_spec, tmp_path):
+    """device_graph mode over the 8-device CPU mesh: the raw DeviceFrame
+    batch shards over the data axis and the SPMD step runs."""
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_devg_mesh"),
+            "batch_size": 2,
+            "NUM_GPU": 2,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 1,
+            "max_steps": -1,
+            "initial_lr": 0.05,
+            "device_graph": True,
+            "device_graph_slab": False,
+            "device_graph_spec": _small_device_spec(),
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+    )
+    try:
+        aux = trainer.train_batch([0, 1])
+        assert np.isfinite(float(np.asarray(aux["total_loss"])))
+        assert int(trainer.global_step) == 1
+    finally:
+        trainer.close()
