@@ -681,14 +681,18 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
 
         # ---- winner detection + cotangent routing -------------------
         y3 = y.reshape(bk, tile, h_out)
-        winner = (y3 == acc_rows[:, None, :]) & mask[:, :, None]
+        # Mosaic can't insert a minor dim on i1 vectors — expand the
+        # mask in f32 and combine multiplicatively
+        maskf3 = mask.astype(jnp.float32)[:, :, None]
+        winnerf = (y3 == acc_rows[:, None, :]).astype(jnp.float32) * maskf3
         dy = (
-            g_rows[:, None, :] * winner.astype(jnp.float32)
+            g_rows[:, None, :] * winnerf
         ).reshape(bk * tile, h_out)
         new_dw = list(dw_accs)
         for li in range(n_layers - 1, -1, -1):
             wi = 2 * li
-            x_l = acts[li + 1]
+            # relu' masks compare in f32 (Mosaic has no bf16 cmpf)
+            x_l = acts[li + 1].astype(jnp.float32)
             x_prev = acts[li]
             dz = dy * (x_l > 0).astype(jnp.float32)
             dw = jax.lax.dot_general(
@@ -704,7 +708,9 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                 dz, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        dab = dy * (x0 > 0).astype(jnp.float32)  # [bk*tile, h] f32
+        dab = dy * (
+            x0.astype(jnp.float32) > 0
+        ).astype(jnp.float32)  # [bk*tile, h] f32
         dab3 = dab.reshape(bk, tile, h)
         da_contrib = jnp.sum(dab3, axis=0)       # [tile, h]
         db_contrib = -jnp.sum(dab3, axis=1)      # [bk, h]
