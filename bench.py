@@ -100,6 +100,82 @@ def bench_train_step(cfg):
     return step_s * 1e3, mfu
 
 
+def bench_train_step_device(cfg):
+    """Production TPU training config: device-graph + slab custom-VJP
+    kernels (no edge lists).  Returns ms/step (one full-capacity frame
+    per device, the device_graph packing)."""
+    import jax
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.data.labels import LABEL_METHODS
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import input_feature_dim, select_input_features
+    from pointgnn_tpu.model import encodings
+    from pointgnn_tpu.model.pointgnn import get_model
+    from pointgnn_tpu.parallel import step as step_lib
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.train import optimizers
+    from pointgnn_tpu.train.trainer import loss_config
+
+    tpu = configs.tpu_settings(cfg["label_method"])
+    dspec = dpipe.device_spec_for_training(cfg, tpu)._replace(
+        slab_level1=True, slab_level0=True
+    )
+    model_extra = {
+        "slab_level1": {
+            "grid_g": db.slab_grid_of(dspec.level1)[1],
+            "radius": dspec.level1.radius,
+        },
+        "slab_level0": {
+            "grid_g": db.slab_grid_of(dspec.level0)[1],
+            "radius": dspec.level0.radius,
+        },
+        "edge_sentinel": "src",
+        "edges_sorted": False,
+    }
+    enc_len = encodings.get_encoding_len(cfg["box_encoding_method"])
+    model = get_model(cfg["model_name"])(
+        num_classes=cfg["num_classes"], box_encoding_len=enc_len,
+        mode="train", **model_extra, **cfg["model_kwargs"],
+    )
+    builder = dpipe.make_graph_builder(
+        dspec, model.output_graph_level, cfg
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_dim=input_feature_dim(cfg["input_features"]),
+    )
+    opt, _ = optimizers.build_from_train_config(
+        {"initial_lr": 0.125, "decay_step": 400000,
+         "decay_factor": 0.1, "optimizer": "sgd"}
+    )
+    state = step_lib.init_train_state(params, opt)
+    step_fn = step_lib.make_train_step(
+        model, opt, loss_config(cfg), mesh=None, graph_builder=builder,
+    )
+    label_map, num_classes = LABEL_METHODS[cfg["label_method"]]
+    import warnings
+
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    pts, labels = synthetic_lidar_frame(seed=0)
+    feats = select_input_features(pts.attr, cfg["input_features"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # synthetic frame > capacity
+        packed = db.pack_points(pts.xyz, feats, dspec.num_points)
+    plabels = dpipe.dl.pack_frame_labels(labels, label_map, num_classes)
+    frame = dpipe.DeviceFrame(packed, plabels)
+    state, _ = step_fn(state, frame)  # compile
+    jax.block_until_ready(state.params)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        state, _ = step_fn(state, frame)
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
 def provenance(pipe):
     import jax
 
@@ -200,11 +276,20 @@ def main():
     if os.environ.get("POINTGNN_BENCH_TRAIN", "1") != "0":
         try:
             train_ms, mfu = bench_train_step(cfg)
-            out["train_step_ms"] = round(train_ms, 2)
+            # edge-list step carries frames_per_device=2 frames
+            out["train_step_edgelist_ms_per_frame"] = round(train_ms / 2, 2)
             if mfu is not None:
-                out["train_mfu_pct"] = round(mfu, 2)
+                out["train_edgelist_mfu_pct"] = round(mfu, 2)
         except Exception as exc:  # never sink the headline metric
             out["train_step_error"] = repr(exc)[:200]
+        try:
+            # production TPU training path: device-graph + slab VJP
+            # kernels, one frame per device
+            out["train_step_device_ms_per_frame"] = round(
+                bench_train_step_device(cfg), 2
+            )
+        except Exception as exc:
+            out["train_device_step_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_PEDCYL", "1") != "0":
         # The 6-class family's r=0.4 slab grid caps at 256^2 cells
         # (cell ~1.0m > radius -> up to ~6x candidate overfetch per

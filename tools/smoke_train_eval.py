@@ -39,6 +39,13 @@ def main():
                              "moderate AP is below (either path); "
                              "report-only by default — 3D-moderate "
                              "sits on an IoU knife edge (PERF_NOTES)")
+    parser.add_argument("--device_graph", action="store_true",
+                        help="train through the on-device pipeline "
+                             "(graph build + labels + encoding inside "
+                             "the jitted step; slab custom-VJP kernels "
+                             "on TPU — the production TPU training "
+                             "path). Packs one frame per device, so "
+                             "batch_size drops to the device count.")
     parser.add_argument("--min_bev_ap", type=float, default=70.0,
                         help="exit nonzero if the classes' mean BEV "
                              "moderate AP is below (either path). BEV "
@@ -78,7 +85,7 @@ def main():
         "loc_loss_weight": 10.0,
     }
     train_config = configs.train_config(args.label_method)
-    batch = 2
+    batch = 1 if args.device_graph else 2
     steps_per_epoch = args.frames // batch
     train_config.update(
         {
@@ -104,6 +111,8 @@ def main():
             "data_aug_configs": [],
         }
     )
+    if args.device_graph:
+        train_config["device_graph"] = True
     cap = GraphCapacity(
         vertices=(32768, 12288, 12288), edges=(131072, 524288)
     )
