@@ -139,7 +139,9 @@ class Trainer:
                 "device_graph training packs one frame per device "
                 "(batch_size must equal the device count); host-graph "
                 "training supports frames_per_device > 1 via graph "
-                "union"
+                "union, and device_graph reaches larger effective "
+                "batches with gradient accumulation (is_pseudo_batch "
+                "+ pseudo_batch_factor, the reference's mechanism)"
             )
 
         self.optimizer, self.lr_schedule = opt_lib.build_from_train_config(
