@@ -143,16 +143,35 @@ def _cell_keys(xyz, mask, cell_size, origin):
     return jnp.where(mask, key, big)
 
 
-def voxel_select(xyz, mask, voxel_size, num_keypoints):
+def voxel_select(xyz, mask, voxel_size, num_keypoints, key=None):
     """One representative point index per occupied voxel.
 
     Returns ``(indices [K] into xyz, kp_mask [K])``; the first
     ``num_keypoints`` voxels in key order are kept (capacity cap).
+
+    ``key`` (a PRNG key) enables the reference's train-time graph
+    stochasticity on device: a random sub-voxel shift of the grid
+    origin (``add_rnd3d``, graph_gen.py:20-26) and a uniformly random
+    representative point per voxel (graph_gen.py:134-150).  Without it
+    the selection is deterministic (lowest-index point, grid anchored
+    at the point-cloud minimum) — the inference path.  Training MUST
+    randomize: a model fit to one frozen keypoint set collapses under
+    any other graph construction (docs/PERF_NOTES.md, train/test
+    neighbor-cap mismatch).
     """
     p = xyz.shape[0]
     origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    if key is not None:
+        kshift, kperm = jax.random.split(key)
+        origin = origin - jax.random.uniform(kshift, (3,)) * voxel_size
     keys = _cell_keys(xyz, mask, voxel_size, origin)
-    order = jnp.argsort(keys)  # stable: lowest index first within voxel
+    if key is not None:
+        # stable argsort of randomly permuted keys -> the first point
+        # of each voxel group in permuted order = uniform random choice
+        perm = jax.random.permutation(kperm, p)
+        order = perm[jnp.argsort(keys[perm])]
+    else:
+        order = jnp.argsort(keys)  # stable: lowest index first within voxel
     sorted_keys = keys[order]
     big = _DX * _DY * _DZ
     first = jnp.ones(p, dtype=bool)
@@ -361,6 +380,7 @@ def build_padded_graph(
     points_mask,           # [P] bool/float
     spec: DeviceGraphSpec,
     return_counters=False,
+    rnd_key=None,
 ) -> PaddedGraph:
     """Full two-level graph as one device computation.
 
@@ -370,11 +390,16 @@ def build_padded_graph(
     design's counterpart to the reference's never-drops ragged feed
     (train.py:184-222).  Used by diagnostics/tests; the serving hot path
     keeps the counter-free program (same compiled signature as before).
+
+    ``rnd_key`` randomizes the keypoint selection (see
+    :func:`voxel_select`) — required for training so the model never
+    sees one frozen graph per frame.
     """
     counters = {}
     points_mask = points_mask.astype(bool)
     kp_idx, kp_mask = voxel_select(
-        points_xyz, points_mask, spec.voxel_size, spec.num_keypoints
+        points_xyz, points_mask, spec.voxel_size, spec.num_keypoints,
+        key=rnd_key,
     )
     if return_counters:
         # occupied voxels beyond the keypoint capacity (recompute the

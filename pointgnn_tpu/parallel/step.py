@@ -90,6 +90,7 @@ def make_train_step(
     num_levels: int = 2,
     with_metrics: bool = False,
     graph_builder=None,
+    graph_rng_seed: Optional[int] = None,
 ):
     """Build the jitted step.
 
@@ -101,13 +102,41 @@ def make_train_step(
     :mod:`pointgnn_tpu.train.metrics` (confusion + PR histograms) to the
     aux dict, computed on device and summed across the mesh.
 
-    ``graph_builder``: optional ``fn(batch_pytree) -> PaddedGraph``
+    ``graph_builder``: optional ``fn(batch_pytree[, key]) -> PaddedGraph``
     applied per device shard before the loss — the on-device training
     pipeline (graph construction + label assignment inside the step,
     train/device_pipeline.py).  The step input is then the raw batch
     pytree (one frame per device) instead of a stacked PaddedGraph.
+
+    ``graph_rng_seed``: when set (and a graph_builder is in use), each
+    step passes the builder a PRNG key folded from this seed, the
+    optimizer step count, and the device's mesh position — per-step,
+    per-device graph randomization (the reference rebuilds randomized
+    graphs on every fetch, train.py:78-133 + graph_gen.py add_rnd3d).
+    Deriving the key from ``state.step`` keeps the step signature and
+    checkpoint-resume behavior unchanged (resuming at step N reproduces
+    exactly the graphs the uninterrupted run would have seen).
     """
     loss_fn = make_loss_fn(model, loss_cfg, with_logits=with_metrics)
+
+    def _graph_key(step_no, device_pos=None):
+        if graph_rng_seed is None:
+            return None
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(graph_rng_seed), step_no
+        )
+        if device_pos is not None:
+            key = jax.random.fold_in(key, device_pos)
+        return key
+
+    def _build(batch, step_no, device_pos=None):
+        if graph_builder is None:
+            return batch
+        key = _graph_key(step_no, device_pos)
+        return (
+            graph_builder(batch) if key is None
+            else graph_builder(batch, key)
+        )
 
     def _metric_updates(aux, graph):
         from pointgnn_tpu.train import metrics as metrics_lib
@@ -133,7 +162,7 @@ def make_train_step(
         def step(state: TrainState, batch):
             # graph construction has no parameter dependence, so it sits
             # outside the grad closure
-            graph = graph_builder(batch) if graph_builder else batch
+            graph = _build(batch, state.step)
             (_, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, graph)
@@ -143,9 +172,9 @@ def make_train_step(
 
         return step
 
-    def _spmd_grads(params, batch):
+    def _spmd_grads(params, step_no, batch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-        graph = graph_builder(batch) if graph_builder else batch
+        graph = _build(batch, step_no, jax.lax.axis_index(DATA_AXIS))
         n_dev = jax.lax.psum(1, DATA_AXIS)
         if unify_copies:
             n_ep, n_val = _endpoint_counts(model, graph)
@@ -214,13 +243,13 @@ def make_train_step(
     sharded_grads = shard_map(
         _spmd_grads,
         mesh=mesh,
-        in_specs=(P(), batch_specs),
+        in_specs=(P(), P(), batch_specs),
         out_specs=(P(), aux_specs),
     )
 
     @jax.jit
     def step(state: TrainState, batch):
-        grads, aux = sharded_grads(state.params, batch)
+        grads, aux = sharded_grads(state.params, state.step, batch)
         return _apply_updates(state, grads, aux)
 
     return step

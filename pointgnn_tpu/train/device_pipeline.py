@@ -82,15 +82,27 @@ def build_device_fetch(spec):
 
 def make_graph_builder(dspec, out_level: int, config):
     """``graph_builder`` for parallel.step.make_train_step: one
-    DeviceFrame -> labeled PaddedGraph, entirely on device."""
+    DeviceFrame -> labeled PaddedGraph, entirely on device.
+
+    The returned ``build(frame, key=None)`` accepts an optional PRNG
+    key that randomizes the keypoint selection per step (the on-device
+    counterpart of the reference's ``add_rnd3d`` grid shift +
+    random-point-per-voxel downsampling, graph_gen.py:20-26,134-150).
+    The train step threads a key derived from the optimizer step when
+    ``graph_rng_seed`` is set (parallel/step.py) — without it, every
+    epoch trains on the SAME deterministic graph per frame and the
+    model collapses under any other graph construction (measured: a
+    device_graph-trained smoke checkpoint scores 100 AP through slab
+    inference but 0 through the host edge-list path)."""
     label_map, _ = LABEL_METHODS[config["label_method"]]
     encode_fn = dl.get_encode_jax(
         config["box_encoding_method"], label_map
     )
 
-    def build(frame: DeviceFrame):
+    def build(frame: DeviceFrame, key=None):
         pxyz, feats, mask = db.unpack_points(frame.packed_points)
-        graph = db.build_padded_graph(pxyz, feats, mask, dspec)
+        graph = db.build_padded_graph(pxyz, feats, mask, dspec,
+                                      rnd_key=key)
         kp_xyz = graph.vertex_xyz[out_level]
         kp_mask = graph.vertex_mask[out_level]
         cls, target, valid = dl.assign_labels_jax(

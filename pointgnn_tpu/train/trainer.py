@@ -147,6 +147,16 @@ class Trainer:
         self.optimizer, self.lr_schedule = opt_lib.build_from_train_config(
             train_config
         )
+        # per-step graph randomization for the device pipeline: the
+        # on-device analog of the reference's add_rnd3d grid shift +
+        # random-point-per-voxel at every fetch (graph_gen.py:20-26,
+        # 134-150).  Without it every epoch trains on one frozen graph
+        # per frame and the checkpoint only works through the identical
+        # deterministic inference path (device_pipeline docstring).
+        graph_rnd = self.device_graph and train_config.get(
+            "device_graph_rnd3d",
+            config["graph_gen_kwargs"].get("add_rnd3d", True),
+        )
         self.step_fn = step_lib.make_train_step(
             self.model,
             self.optimizer,
@@ -156,6 +166,7 @@ class Trainer:
             num_levels=len(config["graph_gen_kwargs"]["level_configs"]),
             with_metrics=True,
             graph_builder=self.graph_builder,
+            graph_rng_seed=seed if graph_rnd else None,
         )
         params = self.model.init(
             jax.random.PRNGKey(seed),

@@ -41,6 +41,68 @@ def test_voxel_select_one_per_voxel():
     assert len(set(map(tuple, all_cells))) == len(sel)
 
 
+def test_voxel_select_randomized():
+    """With a PRNG key, voxel_select jitters the grid origin and picks
+    a random representative per voxel (the reference's train-time
+    add_rnd3d + random-point-per-voxel, graph_gen.py:20-26,134-150):
+    the selection stays valid, is deterministic per key, and varies
+    across keys."""
+    xyz = _cloud()
+    mask = np.ones(len(xyz), bool)
+    mask[700:] = False
+    # coarse voxels so most voxels hold several points and the random
+    # representative choice matters
+    fn = jax.jit(
+        lambda x, m, k: db.voxel_select(x, m, 4.0, 1024, key=k)
+    )
+    sels = []
+    for s in range(4):
+        idx, kp_mask = fn(xyz, mask, jax.random.PRNGKey(s))
+        idx, kp_mask = np.asarray(idx), np.asarray(kp_mask)
+        sel = np.sort(idx[kp_mask])
+        # representatives are valid (unmasked) points, no duplicates
+        assert (sel < 700).all()
+        assert len(np.unique(sel)) == len(sel)
+        # one representative per voxel: far fewer keypoints than points
+        assert 10 < len(sel) < 700
+        sels.append(set(sel.tolist()))
+    # same key -> identical selection
+    idx2, kp_mask2 = fn(xyz, mask, jax.random.PRNGKey(0))
+    assert set(np.asarray(idx2)[np.asarray(kp_mask2)].tolist()) == sels[0]
+    # different keys -> different selections
+    assert sels[0] != sels[1] != sels[2]
+
+
+def test_build_padded_graph_rnd_key_varies():
+    """rnd_key threads through build_padded_graph and changes the
+    keypoint set; key=None matches the deterministic path."""
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=1024, num_keypoints=256, runtime=False,
+        cell_caps=(16, 32), per_center_caps=(8, 16),
+    )
+    xyz = _cloud(1024, seed=3)
+    feats = np.ones((1024, 1), np.float32)
+    mask = np.ones(1024, bool)
+    build = jax.jit(
+        lambda x, f, m, k: db.build_padded_graph(x, f, m, spec, rnd_key=k)
+    )
+    g1 = build(xyz, feats, mask, jax.random.PRNGKey(1))
+    g2 = build(xyz, feats, mask, jax.random.PRNGKey(2))
+    det = jax.jit(
+        lambda x, f, m: db.build_padded_graph(x, f, m, spec)
+    )(xyz, feats, mask)
+    assert not np.allclose(
+        np.asarray(g1.vertex_xyz[1]), np.asarray(g2.vertex_xyz[1])
+    )
+    det2 = jax.jit(
+        lambda x, f, m: db.build_padded_graph(x, f, m, spec)
+    )(xyz, feats, mask)
+    np.testing.assert_array_equal(
+        np.asarray(det.vertex_xyz[1]), np.asarray(det2.vertex_xyz[1])
+    )
+
+
 def test_radius_edges_match_bruteforce():
     xyz = _cloud(600, seed=1)
     src_mask = np.ones(600, bool)

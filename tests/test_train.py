@@ -311,6 +311,9 @@ def test_trainer_device_graph_single_device(fetch_spec, tmp_path):
             "device_graph_slab": False,  # slab = interpret-mode-slow on CPU
             "device_graph_spec": _small_device_spec(),
             "load_dataset_every_N_time": 1000,  # reuse the cached frame
+            # freeze the graph across steps for a clean overfit signal
+            # (the randomized default is covered separately below)
+            "device_graph_rnd3d": False,
         }
     )
     trainer = Trainer(
@@ -327,6 +330,54 @@ def test_trainer_device_graph_single_device(fetch_spec, tmp_path):
         assert all(np.isfinite(l) for l in losses), losses
         # same cached frame each step -> SGD must reduce the loss
         assert losses[-1] < losses[0], losses
+    finally:
+        trainer.close()
+
+
+def test_trainer_device_graph_rnd3d(fetch_spec, tmp_path):
+    """Per-step graph randomization (the default, mirroring the
+    reference's add_rnd3d re-randomization on every fetch): repeated
+    steps on the SAME frame see different keypoint sets — the
+    num_endpoint aux (= selected keypoint count) varies across steps —
+    and training still converges."""
+    config = fetch_spec.config
+    assert config["graph_gen_kwargs"].get("add_rnd3d") is True
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_devg_rnd"),
+            "batch_size": 1,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 0,
+            "max_epoch": 1,
+            "max_steps": -1,
+            "initial_lr": 0.05,
+            "device_graph": True,
+            "device_graph_slab": False,
+            "device_graph_spec": _small_device_spec(),
+            "load_dataset_every_N_time": 1000,
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+    )
+    try:
+        valids, losses = [], []
+        for _ in range(5):
+            aux = trainer.train_batch([0])
+            # num_endpoint saturates at the keypoint capacity on dense
+            # frames; the foreground-keypoint count (valid boxes) is the
+            # uncapped signal that moves with the jittered selection
+            valids.append(
+                int(np.asarray(aux["num_valid_endpoint"]).sum())
+            )
+            losses.append(float(np.asarray(aux["total_loss"])))
+        assert all(np.isfinite(l) for l in losses), losses
+        # the jittered voxel grid changes the keypoint selection per step
+        assert len(set(valids)) > 1, valids
     finally:
         trainer.close()
 
