@@ -248,6 +248,21 @@ def batch_and_pad(
         keypoint_levels[li] = np.clip(kp, 0, max(nv_src - 1, 0))
         e = edge_levels[li]
         e = e[(e[:, 0] < nv_src) & (e[:, 1] < nv_dst)]
+        if len(e) > capacity.edges[li]:
+            import warnings
+
+            warnings.warn(
+                "edge overflow at level %d: %d > capacity %d; dropping "
+                "%d edges (balanced per center). Aggregated features "
+                "shift when the model was trained on uncapped "
+                "neighborhoods — measured to collapse BEV AP to 0 for a "
+                "slab-trained checkpoint (docs/PERF_NOTES.md); raise "
+                "GraphCapacity.edges for this workload"
+                % (li, len(e), capacity.edges[li],
+                   len(e) - capacity.edges[li]),
+                RuntimeWarning,
+                stacklevel=2,
+            )
         edge_levels[li] = _balanced_truncate_edges(
             e, capacity.edges[li], rng
         )

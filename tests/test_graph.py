@@ -251,6 +251,22 @@ def test_balanced_truncation_keeps_per_center_coverage(rng):
     assert (np.diff(real) >= 0).all()
 
 
+def test_edge_overflow_warns(rng):
+    """Edge truncation is lossy for models trained on uncapped
+    neighborhoods (docs/PERF_NOTES.md: BEV AP 0.00 at the training
+    bucket vs 100 at 4x) — it must be surfaced, like vertex overflow."""
+    import warnings
+
+    f = _frame(rng, n=1500)
+    tiny = pad.GraphCapacity(vertices=(2048, 1024, 1024), edges=(512, 1024))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pad.pad_frame(f, tiny)
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("edge overflow" in m for m in msgs), msgs
+
+
 def test_vertex_overflow_truncates_consistently(rng):
     f = _frame(rng, n=1500)
     tiny = pad.GraphCapacity(vertices=(512, 256, 256), edges=(4096, 8192))

@@ -116,6 +116,15 @@ def main():
     cap = GraphCapacity(
         vertices=(32768, 12288, 12288), edges=(131072, 524288)
     )
+    # Host-path EVAL capacity: the runtime graph is uncapped
+    # (num_neighbors=-1), and a checkpoint trained on uncapped
+    # neighborhoods (the device_graph/slab path) mislocalizes when the
+    # padded host graph truncates edges to fit — measured BEV AP 0.00
+    # at the training capacity vs 100 at 4x (docs/PERF_NOTES.md).  Size
+    # the eval bucket for the full uncapped density.
+    eval_cap = GraphCapacity(
+        vertices=(32768, 12288, 12288), edges=(524288, 2097152)
+    )
     num_classes = config["num_classes"]
     spec = DatasetSpec.from_kitti_root(kitti_root, num_classes=num_classes)
     trainer = Trainer(
@@ -148,7 +157,7 @@ def main():
         pipeline = InferencePipeline(
             config,
             checkpoint_dir=train_dir,
-            capacity=cap,
+            capacity=eval_cap,
             on_device_graph=fast,
         )
         result_dir = os.path.join(
