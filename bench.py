@@ -35,6 +35,23 @@ BASELINE_MS = 643.0
 V5E_PEAK_BF16 = 197e12
 
 
+def _timed_steps(step_fn, state, batch, n=20):
+    """Pipelined step timing: enqueue ``n`` steps (state chains on
+    device), sync ONCE via a small device_get — the training loop's
+    real cadence (trainer.train drains aux a few steps late;
+    docs/PERF_NOTES.md: per-step sync stalls ~50ms on the tunnel and
+    block_until_ready does not block).  Returns seconds/step."""
+    import time as _time
+
+    import numpy as _np
+
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        state, aux = step_fn(state, batch)
+    float(_np.asarray(aux["total_loss"]))
+    return (_time.perf_counter() - t0) / n
+
+
 def bench_train_step(cfg):
     """Full-capacity single-chip train step: (ms/step, mfu_pct)."""
     import jax
@@ -78,15 +95,10 @@ def bench_train_step(cfg):
     )
     state = pstep.init_train_state(params, opt)
     step_fn = pstep.make_train_step(model, opt, cfg["loss"], mesh=None)
-    state, _ = step_fn(state, graph)  # compile
-    jax.block_until_ready(state.params)
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        state, _ = step_fn(state, graph)
-        jax.block_until_ready(state.params)
-        times.append(time.perf_counter() - t0)
-    step_s = float(np.median(times))
+    state, aux = step_fn(state, graph)  # compile
+    float(np.asarray(aux["total_loss"]))  # real sync (block_until_ready
+    #                                       is a no-op on the tunnel)
+    step_s = _timed_steps(step_fn, state, graph, n=6)
     mfu = None
     try:
         cost = step_fn.lower(state, graph).compile().cost_analysis()
@@ -152,6 +164,7 @@ def bench_train_step_device(cfg):
     state = step_lib.init_train_state(params, opt)
     step_fn = step_lib.make_train_step(
         model, opt, loss_config(cfg), mesh=None, graph_builder=builder,
+        graph_rng_seed=0,  # per-step graph randomization (production)
     )
     label_map, num_classes = LABEL_METHODS[cfg["label_method"]]
     import warnings
@@ -165,15 +178,9 @@ def bench_train_step_device(cfg):
         packed = db.pack_points(pts.xyz, feats, dspec.num_points)
     plabels = dpipe.dl.pack_frame_labels(labels, label_map, num_classes)
     frame = dpipe.DeviceFrame(packed, plabels)
-    state, _ = step_fn(state, frame)  # compile
-    jax.block_until_ready(state.params)
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        state, _ = step_fn(state, frame)
-        jax.block_until_ready(state.params)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) * 1e3
+    state, aux = step_fn(state, frame)  # compile
+    float(np.asarray(aux["total_loss"]))  # real sync
+    return _timed_steps(step_fn, state, frame, n=20) * 1e3
 
 
 def provenance(pipe):

@@ -259,7 +259,22 @@ class Trainer:
         max_steps: Optional[int] = None,
         log_fn=None,
     ):
-        """Full training run (train.py:519-650)."""
+        """Full training run (train.py:519-650).
+
+        Steps are PIPELINED: the loop enqueues up to
+        ``train_config["aux_pipeline_depth"]`` (default 4) steps before
+        fetching the oldest step's aux from the device.  On the
+        tunneled TPU backend a per-step device_get stalls ~50ms — 1.6x
+        the 32ms step itself (docs/PERF_NOTES.md) — while draining a
+        step that finished several dispatches ago is a pure transfer.
+        Metrics see every step's aux (just late); the NaN guard
+        (reference models.py:305-306 asserts in-graph) fires at most
+        ``depth`` steps after the event, which is equivalent — a NaN
+        loss poisons the params, so every later loss is NaN too.  Set
+        depth 0 for strict step-synchronous behavior.
+        """
+        import collections
+
         import jax
 
         max_epoch = max_epoch or self.train_config.get("max_epoch", 1)
@@ -268,55 +283,70 @@ class Trainer:
             if max_steps is not None
             else self.train_config.get("max_steps", -1)
         )
+        depth = int(self.train_config.get("aux_pipeline_depth", 4))
         # optional jax.profiler trace of a few steady-state steps
         # (SURVEY §5; the reference only had wall-clock stage timers)
         profile_dir = self.train_config.get("profile_dir")
         profile_start = self.train_config.get("profile_start_step", 10)
         profile_steps = self.train_config.get("profile_steps", 5)
         profiling = False
-        start_epoch = (self.global_step * self.batch_size) // max(
+        # host-side step counter: reading self.state.step would
+        # synchronize on the NEWEST enqueued step and re-serialize the
+        # pipeline this loop exists to avoid
+        step_no = self.global_step
+        start_epoch = (step_no * self.batch_size) // max(
             self.num_frames, 1
         )
+        pending = collections.deque()  # (step_no, device aux)
+
+        def _consume(entry):
+            done_step, aux = entry
+            host_aux = jax.device_get(aux)
+            total = float(np.asarray(host_aux["total_loss"]))
+            if not np.isfinite(total):
+                raise FloatingPointError(
+                    "non-finite total loss %r at step %d"
+                    % (total, done_step)
+                )
+            self.metrics.update(host_aux)
+
         for epoch_idx in range(start_epoch, max_epoch):
             self.metrics.reset()
             epoch_start = time.time()
             order = self._rng.permutation(self.num_frames)
-            aux = None
             for batch_idx in range(
                 0, self.num_frames - self.batch_size + 1, self.batch_size
             ):
                 if profile_dir and not profiling and (
-                    self.global_step >= profile_start
+                    step_no >= profile_start
                 ):
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
                 aux = self.train_batch(
                     order[batch_idx:batch_idx + self.batch_size]
                 )
-                host_aux = jax.device_get(aux)
-                if profiling and self.global_step >= (
+                step_no += 1
+                pending.append((step_no, aux))
+                while len(pending) > depth:
+                    _consume(pending.popleft())
+                if profiling and step_no >= (
                     profile_start + profile_steps
                 ):
                     jax.profiler.stop_trace()
                     profiling = False
                     profile_dir = None  # one trace per run
-                # NaN guard (the reference asserts in-graph,
-                # models.py:305-306); device_get already synchronized
-                total = float(np.asarray(host_aux["total_loss"]))
-                if not np.isfinite(total):
-                    raise FloatingPointError(
-                        "non-finite total loss %r at step %d"
-                        % (total, self.global_step)
-                    )
-                self.metrics.update(host_aux)
-                if 0 < max_steps <= self.global_step:
+                if 0 < max_steps <= step_no:
+                    while pending:
+                        _consume(pending.popleft())
                     if profiling:
                         jax.profiler.stop_trace()
                         profiling = False
                     print("save checkpoint at step %d to %s"
-                          % (self.global_step, self.train_dir))
+                          % (step_no, self.train_dir))
                     self.save()
                     return
+            while pending:  # epoch metrics need every step's aux
+                _consume(pending.popleft())
             lr = float(self.lr_schedule(self.global_step))
             results = self.metrics.print_epoch(
                 self.global_step, epoch_idx, lr, time.time() - epoch_start
