@@ -146,16 +146,33 @@ class InferencePipeline:
         # graphs — but those MUST run with edges_sorted=False (their
         # sentinel slots interleave between center blocks)
         blocked = None
+        # the fold/slab/pallas fast paths require NONE normalization in
+        # the point/edge MLPs (nn/layers guards raise otherwise); BN/IN
+        # configs fall back to the general segment path automatically
+        def _edge_norms_none():
+            for lc in config["model_kwargs"]["layer_configs"][:-1]:
+                kw = lc.get("kwargs", {})
+                for key in ("point_MLP_normalization_type",
+                            "edge_MLP_normalization_type"):
+                    if key in kw and kw[key] != "NONE":
+                        return False
+            return True
+
+        fast_ok = _edge_norms_none()
         if pallas_tail == "auto":
             # fused Pallas edge tail: a real win on TPU; on CPU it would
             # run in (slow) interpret mode, so auto only enables it for
             # device-built graphs on a TPU backend
-            pallas_tail = on_device_graph and jax.default_backend() == "tpu"
+            pallas_tail = (
+                on_device_graph
+                and jax.default_backend() == "tpu"
+                and fast_ok
+            )
         self.pallas_tail = bool(pallas_tail)
         if slab == "auto":
             # slab mode (fused radius search + edge MLP, no level-1
             # edge list): the production TPU path
-            slab = self.pallas_tail
+            slab = self.pallas_tail and fast_ok
         # slab accepts True (both levels), "l1" (level-1 only, level-0
         # stays on the capped edge list), or False
         if not on_device_graph:

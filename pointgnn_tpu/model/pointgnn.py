@@ -102,24 +102,26 @@ class PointGNN:
                 slab_level0 = dict(slab_level0, train=True)
         self.slab_level1 = slab_level1
         self.slab_level0 = slab_level0
-        # BN-family normalizations compute masked BATCH statistics (the
-        # reference's slim BN with is_training=True, gnn.py:9-23); no
-        # moving averages are maintained, so at test time they would
-        # silently diverge from slim's eval semantics.  Every shipped
-        # config uses NONE — refuse rather than mis-evaluate.
-        if mode == "test":
-            bn_types = {"fused_BN_center", "BN_center", "BN"}
-            for cfg in self.layer_configs:
-                for key, val in cfg.get("kwargs", {}).items():
-                    if key.endswith("normalization_type") and val in bn_types:
-                        raise NotImplementedError(
-                            "layer %r uses %s=%r: BN moving averages are "
-                            "not implemented, so test-mode evaluation "
-                            "would use batch statistics (wrong slim eval "
-                            "semantics). Train/eval with NONE or IN "
-                            "normalization instead."
-                            % (cfg.get("scope", cfg.get("type")), key, val)
-                        )
+        # BN-family normalizations: train mode normalizes with masked
+        # BATCH statistics (slim's is_training=True, gnn.py:9-23) and
+        # the train step folds the collected statistics into slim-style
+        # moving averages stored next to each layer's beta
+        # (nn/mlp.init_norm, parallel/step.py); eval/test modes
+        # normalize with those stored averages (is_training=False).
+        # Every shipped config uses NONE, so this path is latent.
+        bn_types = set(mlp.BN_TYPES)
+        self._has_bn = any(
+            key.endswith("normalization_type") and val in bn_types
+            for cfg in self.layer_configs
+            for key, val in cfg.get("kwargs", {}).items()
+        ) or self.layer_configs[-1]["kwargs"].get(
+            "normalization_type", "fused_BN_center"
+        ) in bn_types
+        if self._has_bn:
+            # chunked edge streaming would compute BN statistics per
+            # chunk; BN configs run unchunked (more HBM, smaller
+            # capacities — acceptable for a non-shipped family)
+            self.edge_chunks = 1
         if regularizer_type is None:
             assert not regularizer_kwargs, "No regularizer no kwargs"
             self._reg_fn = None
@@ -175,11 +177,28 @@ class PointGNN:
         )
         return params
 
-    def apply(self, params, graph: PaddedGraph, is_training: bool = False):
+    def apply(
+        self,
+        params,
+        graph: PaddedGraph,
+        is_training: bool = False,
+        collect_stats: bool = False,
+    ):
         """predict (models.py:79-163): returns
         ``(logits [K, num_classes], box_encodings [K, num_classes, L])``
-        on the output vertex level."""
-        del is_training  # BN state handled by the training loop
+        on the output vertex level.
+
+        ``collect_stats=True`` (train mode, BN configs) additionally
+        returns a dict of per-BN-site sufficient statistics
+        ``{path: (sum, sum_sq, count)}`` keyed by the path into
+        ``params`` — the train step folds them into the stored moving
+        averages (mlp.update_bn_ema).  In eval/test modes BN layers
+        normalize with the stored averages instead of batch statistics
+        (slim's is_training=False semantics)."""
+        del is_training  # mode fixed at construction
+        bn_use_stored = self._has_bn and self.mode in ("eval", "test")
+        collect_stats = collect_stats and self._has_bn
+        all_stats = {}
         # accept host (numpy) graphs captured as jit constants
         graph = jax.tree_util.tree_map(jnp.asarray, graph)
         features = graph.features
@@ -208,8 +227,10 @@ class PointGNN:
                     )
                     kw["point_mask"] = graph.vertex_mask[g]
 
-                def run(p, features, layer=layer, g=g, kw=kw):
-                    return layer.apply(
+                def run(p, features, layer=layer, g=g, kw=kw,
+                        scope=cfg["scope"]):
+                    stats = {}
+                    out = layer.apply(
                         p,
                         features,
                         graph.vertex_xyz[g],
@@ -217,8 +238,12 @@ class PointGNN:
                         graph.edges_src[g],
                         graph.edges_dst[g],
                         center_mask=graph.vertex_mask[g + 1],
+                        bn_use_stored=bn_use_stored,
+                        bn_collect=stats if collect_stats else None,
+                        bn_prefix=(scope,),
                         **kw,
                     )
+                    return out, stats
             else:
                 if (
                     self.slab_level1 is not None
@@ -231,20 +256,27 @@ class PointGNN:
                         center_cell=graph.slab_center_cell,
                     )
 
-                def run(p, features, layer=layer, g=g, kw=kw):
-                    return layer.apply(
+                def run(p, features, layer=layer, g=g, kw=kw,
+                        scope=cfg["scope"]):
+                    stats = {}
+                    out = layer.apply(
                         p,
                         features,
                         graph.vertex_xyz[g],
                         graph.edges_src[g],
                         graph.edges_dst[g],
                         vertex_mask=graph.vertex_mask[g],
+                        bn_use_stored=bn_use_stored,
+                        bn_collect=stats if collect_stats else None,
+                        bn_prefix=(scope,),
                         **kw,
                     )
+                    return out, stats
 
             if self.remat:
                 run = jax.checkpoint(run)
-            features = run(p, features)
+            features, layer_stats = run(p, features)
+            all_stats.update(layer_stats)
         pred_cfg = self.layer_configs[-1]
         logits, box_encodings = self._predictor.apply(
             params[pred_cfg["scope"]],
@@ -253,8 +285,13 @@ class PointGNN:
             self.box_encoding_len,
             vertex_mask=graph.vertex_mask[self.output_graph_level],
             compute_dtype=self.compute_dtype,
+            bn_use_stored=bn_use_stored,
+            bn_collect=all_stats if collect_stats else None,
+            bn_prefix=(pred_cfg["scope"],),
             **pred_cfg["kwargs"],
         )
+        if collect_stats:
+            return logits, box_encodings, all_stats
         return logits, box_encodings
 
     def postprocess(self, logits):

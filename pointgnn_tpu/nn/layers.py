@@ -105,9 +105,26 @@ class PointSetPooling:
         edge_sentinel="dst",
         pallas_tail=False,
         slab=None,
+        bn_use_stored=False,
+        bn_collect=None,
+        bn_prefix=(),
     ):
         num_centers = center_xyz.shape[0]
         num_src = point_features.shape[0]
+        point_bn = point_MLP_normalization_type in mlp.BN_TYPES
+        if point_bn and edge_chunks > 1:
+            raise ValueError(
+                "BN-family point-MLP normalization requires "
+                "edge_chunks=1: chunked streaming would compute batch "
+                "statistics per chunk instead of over the full edge "
+                "set (PointGNN sets this automatically)"
+            )
+        # BN statistics must exclude padded edge slots (the reference's
+        # ragged feed has none); sentinel src/dst rows are masked out
+        edge_bn_mask = (
+            ((edges_src < num_src) & (edges_dst < num_centers))
+            if point_bn else None
+        )
 
         if slab is not None and not (
             self._agg_name == "max"
@@ -196,6 +213,8 @@ class PointSetPooling:
                 normalization_type=output_MLP_normalization_type,
                 activation_type=output_MLP_activation_type,
                 mask=center_mask, compute_dtype=compute_dtype,
+                bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                bn_prefix=bn_prefix + ("output_mlp",),
             )
             if center_mask is not None:
                 out = out * center_mask[:, None].astype(out.dtype)
@@ -246,6 +265,8 @@ class PointSetPooling:
                 normalization_type=output_MLP_normalization_type,
                 activation_type=output_MLP_activation_type,
                 mask=center_mask, compute_dtype=compute_dtype,
+                bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                bn_prefix=bn_prefix + ("output_mlp",),
             )
             if center_mask is not None:
                 out = out * center_mask[:, None].astype(out.dtype)
@@ -262,6 +283,11 @@ class PointSetPooling:
                 normalization_type=point_MLP_normalization_type,
                 activation_type=point_MLP_activation_type,
                 compute_dtype=compute_dtype,
+                # full-length closure mask: with BN edge_chunks==1 is
+                # enforced above, so edge_fn sees the whole edge list
+                mask=edge_bn_mask,
+                bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                bn_prefix=bn_prefix + ("point_mlp",),
             )
 
         edge_fn, edges_sorted = _apply_sentinel(
@@ -297,6 +323,8 @@ class PointSetPooling:
             normalization_type=output_MLP_normalization_type,
             activation_type=output_MLP_activation_type,
             mask=center_mask, compute_dtype=compute_dtype,
+            bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+            bn_prefix=bn_prefix + ("output_mlp",),
         )
         if center_mask is not None:
             out = out * center_mask[:, None].astype(out.dtype)
@@ -366,8 +394,22 @@ class GraphNetAutoCenter:
         edge_sentinel="dst",
         pallas_tail=False,
         slab=None,
+        bn_use_stored=False,
+        bn_collect=None,
+        bn_prefix=(),
     ):
         n = vertex_features.shape[0]
+        edge_bn = edge_MLP_normalization_type in mlp.BN_TYPES
+        if edge_bn and edge_chunks > 1:
+            raise ValueError(
+                "BN-family edge-MLP normalization requires "
+                "edge_chunks=1: chunked streaming would compute batch "
+                "statistics per chunk instead of over the full edge "
+                "set (PointGNN sets this automatically)"
+            )
+        edge_bn_mask = (
+            ((edges_src < n) & (edges_dst < n)) if edge_bn else None
+        )
         if slab is not None and not (
             self._agg_name == "max"
             and edge_MLP_normalization_type == "NONE"
@@ -391,6 +433,8 @@ class GraphNetAutoCenter:
                 normalization_type=auto_offset_MLP_normalization_type,
                 activation_type=auto_offset_MLP_feature_activation_type,
                 mask=vertex_mask, compute_dtype=compute_dtype,
+                bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                bn_prefix=bn_prefix + ("auto_offset_mlp",),
             )
             shifted_xyz = vertex_xyz + offset.astype(vertex_xyz.dtype)
         else:
@@ -467,6 +511,8 @@ class GraphNetAutoCenter:
                     normalization_type=update_MLP_normalization_type,
                     activation_type=update_MLP_activation_type,
                     mask=vertex_mask, compute_dtype=compute_dtype,
+                    bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                    bn_prefix=bn_prefix + ("update_mlp",),
                 )
                 out = update + vertex_features
                 if vertex_mask is not None:
@@ -508,6 +554,8 @@ class GraphNetAutoCenter:
                     normalization_type=update_MLP_normalization_type,
                     activation_type=update_MLP_activation_type,
                     mask=vertex_mask, compute_dtype=compute_dtype,
+                    bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                    bn_prefix=bn_prefix + ("update_mlp",),
                 )
                 out = update + vertex_features  # residual (gnn.py:372)
                 if vertex_mask is not None:
@@ -540,6 +588,11 @@ class GraphNetAutoCenter:
                     normalization_type=edge_MLP_normalization_type,
                     activation_type=edge_MLP_activation_type,
                     compute_dtype=compute_dtype,
+                    # full-length closure mask: BN forces edge_chunks=1
+                    # so edge_fn sees the whole edge list in one call
+                    mask=edge_bn_mask,
+                    bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                    bn_prefix=bn_prefix + ("edge_mlp",),
                 )
 
         edge_fn, edges_sorted = _apply_sentinel(
@@ -577,6 +630,8 @@ class GraphNetAutoCenter:
             normalization_type=update_MLP_normalization_type,
             activation_type=update_MLP_activation_type,
             mask=vertex_mask, compute_dtype=compute_dtype,
+            bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+            bn_prefix=bn_prefix + ("update_mlp",),
         )
         out = update + vertex_features  # residual (gnn.py:372)
         if vertex_mask is not None:
@@ -627,12 +682,17 @@ class ClassAwarePredictor:
         activation_type="ReLU",
         vertex_mask=None,
         compute_dtype=None,
+        bn_use_stored=False,
+        bn_collect=None,
+        bn_prefix=(),
     ):
         logits = mlp.apply_fc(
             params["cls"], features, is_logits=True,
             normalization_type=normalization_type,
             activation_type=activation_type, mask=vertex_mask,
             compute_dtype=compute_dtype,
+            bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+            bn_prefix=bn_prefix + ("cls",),
         )
         if self._separated:
             splits = jnp.split(features, num_classes, axis=-1)
@@ -644,6 +704,8 @@ class ClassAwarePredictor:
                 normalization_type=normalization_type,
                 activation_type=activation_type, mask=vertex_mask,
                 compute_dtype=compute_dtype,
+                bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+                bn_prefix=bn_prefix + ("loc", ci),
             )
             box_parts.append(enc[:, None, :])
         box_encodings = jnp.concatenate(box_parts, axis=1)

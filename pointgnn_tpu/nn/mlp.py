@@ -89,39 +89,91 @@ def instance_norm(x, mask=None, eps=1e-12):
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
-def batch_norm(x, norm_params, mask=None, center=True, eps=1e-3):
+def batch_norm(
+    x, norm_params, mask=None, center=True, eps=1e-3,
+    use_stored=False, collect=None, collect_key=None,
+):
     """BN over the vertex axis with optional learned center/scale.
 
     The reference uses slim.batch_norm (center=True, scale=False by
-    default; 'BN' disables center).  Statistics here are ALWAYS batch
-    statistics masked to valid rows — the reference's training-time
-    behavior.  No moving averages are maintained anywhere, so test-mode
-    evaluation under BN would diverge from slim's eval semantics;
-    PointGNN refuses BN configs at mode="test" for that reason.  The
-    shipped configs all use normalization 'NONE'.
+    default; 'BN' disables center; epsilon 1e-3, slim defaults).
+
+    - ``use_stored=False`` (training): normalize with masked BATCH
+      statistics — slim's ``is_training=True``.
+    - ``use_stored=True`` (eval/test): normalize with the moving
+      averages stored in ``norm_params["ema_mean"/"ema_var"]`` —
+      slim's ``is_training=False``.  Initialized (0, 1) like slim's
+      ``moving_mean``/``moving_variance``; updated by the train step
+      (parallel/step.py) from stats collected here.
+    - ``collect``: a dict; when given (train), stop-gradient sufficient
+      statistics ``(sum, sum_sq, count)`` of the masked rows are
+      recorded under ``collect_key`` — exact to combine across devices
+      (psum) and convert to (mean, var) for the EMA update.
     """
-    mean, var = _masked_moments(x, mask)
+    if use_stored:
+        mean = norm_params["ema_mean"][None, :]
+        var = norm_params["ema_var"][None, :]
+    else:
+        mean, var = _masked_moments(x, mask)
+        if collect is not None:
+            if mask is None:
+                s1 = jnp.sum(x, axis=0)
+                s2 = jnp.sum(jnp.square(x), axis=0)
+                n = jnp.asarray(float(x.shape[0]), x.dtype)
+            else:
+                m = mask.reshape(-1, 1).astype(x.dtype)
+                s1 = jnp.sum(x * m, axis=0)
+                s2 = jnp.sum(jnp.square(x) * m, axis=0)
+                n = jnp.sum(m)
+            collect[collect_key] = jax.lax.stop_gradient((s1, s2, n))
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     if center and norm_params is not None:
         y = y + norm_params["beta"]
     return y
 
 
+BN_TYPES = ("fused_BN_center", "BN_center", "BN")
+
+
 def init_norm(norm_type: str, dim: int):
+    """Per-layer normalization state.  BN-family layers carry slim-style
+    moving averages (moving_mean 0 / moving_variance 1) next to the
+    learned center; they are updated by the training loop, not the
+    optimizer (zero gradient; regularizers only touch ``"w"`` leaves)."""
     if norm_type in ("fused_BN_center", "BN_center"):
-        return {"beta": jnp.zeros((dim,), jnp.float32)}
+        return {
+            "beta": jnp.zeros((dim,), jnp.float32),
+            "ema_mean": jnp.zeros((dim,), jnp.float32),
+            "ema_var": jnp.ones((dim,), jnp.float32),
+        }
+    if norm_type == "BN":
+        return {
+            "ema_mean": jnp.zeros((dim,), jnp.float32),
+            "ema_var": jnp.ones((dim,), jnp.float32),
+        }
     return None
 
 
-def apply_norm(norm_type, norm_params, x, mask=None):
+def apply_norm(
+    norm_type, norm_params, x, mask=None,
+    use_stored=False, collect=None, collect_key=None,
+):
     if norm_type == "NONE":
         return x
     if norm_type == "IN":
         return instance_norm(x, mask)
     if norm_type in ("fused_BN_center", "BN_center"):
-        return batch_norm(x, norm_params, mask, center=True)
+        return batch_norm(
+            x, norm_params, mask, center=True,
+            use_stored=use_stored, collect=collect,
+            collect_key=collect_key,
+        )
     if norm_type == "BN":
-        return batch_norm(x, None, mask, center=False)
+        return batch_norm(
+            x, norm_params, mask, center=False,
+            use_stored=use_stored, collect=collect,
+            collect_key=collect_key,
+        )
     raise ValueError("unknown normalization: %s" % norm_type)
 
 
@@ -149,10 +201,16 @@ def apply_mlp(
     activation_type: str = "ReLU",
     mask=None,
     compute_dtype=None,
+    bn_use_stored: bool = False,
+    bn_collect=None,
+    bn_prefix=(),
 ):
     """``multi_layer_neural_network_fn`` parity (gnn.py:86-104).
 
     ``is_logits=True`` leaves the final layer linear (no act/norm).
+    ``bn_use_stored``/``bn_collect``/``bn_prefix``: BN moving-average
+    plumbing (see :func:`batch_norm`); stats are keyed
+    ``bn_prefix + (layer_index,)``.
     """
     act = ACTIVATIONS[activation_type]
     n = len(params)
@@ -160,7 +218,11 @@ def apply_mlp(
         x = dense(layer, x, compute_dtype)
         last = i == n - 1
         if not (is_logits and last):
-            x = apply_norm(normalization_type, layer["norm"], x, mask)
+            x = apply_norm(
+                normalization_type, layer["norm"], x, mask,
+                use_stored=bn_use_stored, collect=bn_collect,
+                collect_key=bn_prefix + (i,),
+            )
             if act is not None:
                 x = act(x)
     return x
@@ -179,6 +241,7 @@ def init_fc(
 def apply_fc(
     params, x, is_logits=True, normalization_type="NONE",
     activation_type="ReLU", mask=None, compute_dtype=None,
+    bn_use_stored=False, bn_collect=None, bn_prefix=(),
 ):
     """``multi_layer_fc_fn`` parity (gnn.py:34-84): hidden layers always
     act+norm; output layer linear iff ``is_logits``."""
@@ -187,7 +250,57 @@ def apply_fc(
         normalization_type=normalization_type,
         activation_type=activation_type, mask=mask,
         compute_dtype=compute_dtype,
+        bn_use_stored=bn_use_stored, bn_collect=bn_collect,
+        bn_prefix=bn_prefix,
     )
+
+
+def _updated_at(tree, path, fn):
+    """Functional update: replace ``tree[path[0]]...[path[-1]]`` with
+    ``fn(leaf)``, shallow-copying only the nodes along the path."""
+    if not path:
+        return fn(tree)
+    head = path[0]
+    if isinstance(tree, dict):
+        new = dict(tree)
+        new[head] = _updated_at(tree[head], path[1:], fn)
+        return new
+    if isinstance(tree, (list, tuple)):
+        new = list(tree)
+        new[head] = _updated_at(tree[head], path[1:], fn)
+        return tuple(new) if isinstance(tree, tuple) else new
+    raise TypeError("cannot index %r with %r" % (type(tree), head))
+
+
+def update_bn_ema(params, stats, decay=0.999):
+    """Fold collected BN sufficient statistics into the moving averages.
+
+    ``stats``: ``{path: (sum, sum_sq, count)}`` where ``path`` indexes
+    ``params`` down to the dense-layer dict whose ``["norm"]`` carries
+    ``ema_mean``/``ema_var``.  Counts may be summed across devices
+    first (psum) — the statistics are exact under addition.  Matches
+    slim's ``moving_mean/var`` assign_moving_average (decay default
+    0.999, zero_debias=False).
+    """
+    for path, (s1, s2, n) in stats.items():
+
+        def upd(layer, s1=s1, s2=s2, n=n):
+            cnt = jnp.maximum(n, 1.0)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+            norm = dict(layer["norm"])
+            norm["ema_mean"] = (
+                decay * norm["ema_mean"] + (1.0 - decay) * mean
+            )
+            norm["ema_var"] = (
+                decay * norm["ema_var"] + (1.0 - decay) * var
+            )
+            out = dict(layer)
+            out["norm"] = norm
+            return out
+
+        params = _updated_at(params, tuple(path), upd)
+    return params
 
 
 def l1_regularizer(scale):

@@ -41,10 +41,23 @@ def init_train_state(params, optimizer) -> TrainState:
 
 
 def make_loss_fn(model, loss_cfg, with_logits: bool = False):
-    """Per-device total loss over one padded graph."""
+    """Per-device total loss over one padded graph.
+
+    For BN configs in train mode the aux dict additionally carries
+    ``"bn_stats"`` — per-site sufficient statistics the train step
+    folds into the stored moving averages (nn/mlp.update_bn_ema)."""
+    collect_bn = (
+        getattr(model, "_has_bn", False) and model.mode == "train"
+    )
 
     def loss_fn(params, graph: PaddedGraph, unify_weights=None):
-        logits, boxes = model.apply(params, graph)
+        bn_stats = None
+        if collect_bn:
+            logits, boxes, bn_stats = model.apply(
+                params, graph, collect_stats=True
+            )
+        else:
+            logits, boxes = model.apply(params, graph)
         d = model.loss(
             params,
             logits,
@@ -64,6 +77,8 @@ def make_loss_fn(model, loss_cfg, with_logits: bool = False):
         d = dict(d, cls_loss=cls_loss, loc_loss=loc_loss, total_loss=total)
         if with_logits:
             d["logits"] = jax.lax.stop_gradient(logits)
+        if bn_stats is not None:
+            d["bn_stats"] = bn_stats
         return total, d
 
     return loss_fn
@@ -91,6 +106,7 @@ def make_train_step(
     with_metrics: bool = False,
     graph_builder=None,
     graph_rng_seed: Optional[int] = None,
+    bn_decay: float = 0.999,
 ):
     """Build the jitted step.
 
@@ -154,6 +170,15 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        bn_stats = aux.pop("bn_stats", None)
+        if bn_stats is not None:
+            # fold batch statistics into the stored moving averages
+            # (slim assign_moving_average, decay default 0.999).  The
+            # averages live inside params (zero-gradient leaves), so
+            # checkpoints and eval/test apply pick them up for free.
+            from pointgnn_tpu.nn import mlp as mlp_lib
+
+            params = mlp_lib.update_bn_ema(params, bn_stats, bn_decay)
         return TrainState(state.step + 1, params, opt_state), aux
 
     if mesh is None:
@@ -209,6 +234,14 @@ def make_train_step(
                 for k, v in _metric_updates(aux, graph).items()
             }
         out = {}
+        bn_stats = aux.pop("bn_stats", None)
+        if bn_stats is not None:
+            # sufficient statistics (sum, sum_sq, count) are exact
+            # under addition: the psum makes the EMA update identical
+            # to one big batch over the whole mesh
+            out["bn_stats"] = jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(v, DATA_AXIS), bn_stats
+            )
         for k, v in aux.items():
             if k in _SCALAR_KEYS:
                 out[k] = jax.lax.pmean(v, DATA_AXIS)
@@ -235,6 +268,8 @@ def make_train_step(
         )
     aux_specs = {k: P() for k in _SCALAR_KEYS}
     aux_specs.update({k: P(DATA_AXIS) for k in _PER_DEVICE_KEYS})
+    if getattr(model, "_has_bn", False) and model.mode == "train":
+        aux_specs["bn_stats"] = P()  # prefix spec over the stats pytree
     if with_metrics:
         aux_specs.update(
             {k: P() for k in ("confusion", "pr_pos_hist", "pr_neg_hist")}

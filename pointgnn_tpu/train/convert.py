@@ -32,7 +32,10 @@ from a reference checkpoint on any machine with TF installed:
 then convert with ``tools/convert_reference_checkpoint.py``.
 
 Only NONE-normalization configs are supported (all seven shipped
-configs); slim batch-norm statistics have no slot in this tree.
+reference checkpoints use NONE).  BN configs now have slots for slim's
+beta/moving_mean/moving_variance (nn/mlp.init_norm) — extend
+``reference_name_map`` with the ``BatchNorm/*`` variable names if a BN
+reference checkpoint ever needs converting.
 """
 
 from typing import Dict, List, Sequence, Tuple

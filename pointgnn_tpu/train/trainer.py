@@ -167,6 +167,7 @@ class Trainer:
             with_metrics=True,
             graph_builder=self.graph_builder,
             graph_rng_seed=seed if graph_rnd else None,
+            bn_decay=train_config.get("bn_decay", 0.999),
         )
         params = self.model.init(
             jax.random.PRNGKey(seed),

@@ -238,12 +238,11 @@ def test_postprocess_softmax(model_and_graph):
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
 
 
-def test_bn_config_refused_at_test_mode():
-    """BN moving averages are unimplemented: a BN config must be
-    refused at mode='test' instead of silently evaluating with batch
-    statistics (wrong slim eval semantics)."""
-    import pytest as _pytest
-
+def test_bn_config_supported_at_test_mode():
+    """BN configs build in every mode: train normalizes with batch
+    statistics + maintains moving averages, test/eval normalize with
+    the stored averages (slim is_training semantics; tests/test_bn.py
+    covers the numerics)."""
     from pointgnn_tpu import configs
     from pointgnn_tpu.model.pointgnn import PointGNN
 
@@ -253,9 +252,8 @@ def test_bn_config_refused_at_test_mode():
     for key in list(layer_configs[0]["kwargs"]):
         if key.endswith("normalization_type"):
             layer_configs[0]["kwargs"][key] = "fused_BN_center"
-    with _pytest.raises(NotImplementedError, match="moving averages"):
-        PointGNN(num_classes=4, box_encoding_len=7,
-                 layer_configs=layer_configs, mode="test")
-    # train mode keeps working (reference training uses batch stats)
-    PointGNN(num_classes=4, box_encoding_len=7,
-             layer_configs=layer_configs, mode="train")
+    for mode in ("train", "eval", "test"):
+        model = PointGNN(num_classes=4, box_encoding_len=7,
+                         layer_configs=layer_configs, mode=mode)
+        assert model._has_bn
+        assert model.edge_chunks == 1  # batch stats need unchunked edges
