@@ -93,16 +93,26 @@ class Evaluator:
         (eval.py:297-375)."""
         import jax
 
+        import collections
+
         state, _ = ckpt_lib.restore_checkpoint(train_dir, step=step)
         params = state["params"] if "params" in state else state
         params = jax.device_put(params)
         self.metrics.reset()
         t0 = time.time()
+        # pipeline the per-frame aux fetch like trainer.train(): a
+        # device_get right after dispatch stalls ~50ms on the tunneled
+        # backend; draining a frame that finished several dispatches
+        # ago is a pure transfer (docs/PERF_NOTES.md)
+        pending = collections.deque()
         for frame_idx in range(self.num_frames):
             frame = self.provider.provide(frame_idx)
             graph = pad.batch_and_pad([frame], self.capacity)
-            aux = self._eval_step(params, graph)
-            self.metrics.update(jax.device_get(aux))
+            pending.append(self._eval_step(params, graph))
+            while len(pending) > 4:
+                self.metrics.update(jax.device_get(pending.popleft()))
+        while pending:
+            self.metrics.update(jax.device_get(pending.popleft()))
         results = self.metrics.print_epoch(
             step, 0, 0.0, time.time() - t0
         )
