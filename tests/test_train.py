@@ -293,6 +293,46 @@ def _small_device_spec():
     )
 
 
+def test_device_fetch_applies_augmentation(fetch_spec):
+    """The device-pipeline fetch (train/device_pipeline.build_device_fetch)
+    runs the SAME host augmentation stage as the host-graph fetch
+    (reference train.py:78-133: augment before graph gen); only graph
+    construction moves on device."""
+    tc = dict(fetch_spec.train_config)
+    tc["data_aug_configs"] = [
+        {
+            "method_name": "random_rotation_all",
+            "method_kwargs": {"yaw_std": 0.4},
+        }
+    ]
+    dspec = _small_device_spec()
+    spec_aug = fetch_spec._replace(
+        train_config=tc, device_spec=dspec
+    )
+    spec_plain = fetch_spec._replace(
+        train_config=dict(tc, data_aug_configs=[]), device_spec=dspec
+    )
+    fetch_aug = build_fetch(spec_aug)
+    fetch_plain = build_fetch(spec_plain)
+    frame_aug = fetch_aug(0, seed=7)
+    frame_plain = fetch_plain(0, seed=7)
+    # same packing shape, different (rotated) point coordinates
+    assert frame_aug.packed_points.shape == frame_plain.packed_points.shape
+    assert not np.allclose(
+        frame_aug.packed_points, frame_plain.packed_points
+    )
+    # GT boxes rotate with the cloud
+    assert not np.allclose(
+        np.asarray(frame_aug.labels.target_box),
+        np.asarray(frame_plain.labels.target_box),
+    )
+    # determinism per seed
+    again = fetch_aug(0, seed=7)
+    np.testing.assert_array_equal(
+        frame_aug.packed_points, again.packed_points
+    )
+
+
 def test_trainer_device_graph_single_device(fetch_spec, tmp_path):
     """device_graph mode: graph + labels + encoding inside the jitted
     step; loss is finite and decreases over repeated steps."""
