@@ -81,7 +81,14 @@ def bench_train_step(cfg):
             encoded_boxes=rng.rand(k, 1, 7).astype(np.float32),
             valid_boxes=(labels[:, :, None] == 1).astype(np.float32),
         ))
-    graph = pad.batch_and_pad(frames, cap)
+    import warnings
+
+    with warnings.catch_warnings():
+        # we measure the FULL-capacity step: the over-dense synthetic
+        # frames deliberately saturate every bucket (worst case), so
+        # the truncation warning is expected here
+        warnings.simplefilter("ignore", RuntimeWarning)
+        graph = pad.batch_and_pad(frames, cap)
     model = PointGNN(
         num_classes=cfg["num_classes"], box_encoding_len=7,
         layer_configs=cfg["model_kwargs"]["layer_configs"],
@@ -183,6 +190,22 @@ def bench_train_step_device(cfg):
     return _timed_steps(step_fn, state, frame, n=20) * 1e3
 
 
+def _bench_frame(seed):
+    """Synthetic frame at real-KITTI frustum density.
+
+    The default synthetic generator over-produces ~3x the density of a
+    real HDL-64 frustum crop (~2000 points/beam/rev -> ~450 within the
+    ~80 deg camera FOV); pack_points would truncate, which both warns
+    and misrepresents the workload.  ~24K points matches the upper end
+    of real frustum clouds (the reference's 643 ms is measured on
+    exactly those, run.py:210-211 with downsample_by_voxel_size=null).
+    """
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    points, _ = synthetic_lidar_frame(seed=seed, points_per_beam=380)
+    return points
+
+
 def provenance(pipe):
     import jax
 
@@ -200,7 +223,6 @@ def main():
     profile_dir = os.environ.get("POINTGNN_PROFILE_DIR", "")
     from pointgnn_tpu import configs
     from pointgnn_tpu.infer import InferencePipeline
-    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
 
     cfg = configs.model_config("Car", T=3)
     # capacity sized to the benchmark stream's density (the synthetic
@@ -216,7 +238,7 @@ def main():
         cfg, on_device_graph=True, use_box_score=False, device_spec=spec
     )
 
-    frames = [synthetic_lidar_frame(seed=i)[0] for i in range(8)]
+    frames = [_bench_frame(i) for i in range(8)]
     rng = np.random.default_rng(0)
 
     def measured_ms():
@@ -313,7 +335,6 @@ def bench_ped_cyl():
     from pointgnn_tpu import configs
     from pointgnn_tpu.graph import device_builder as db
     from pointgnn_tpu.infer import InferencePipeline
-    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
 
     cfg = configs.model_config("Pedestrian_and_Cyclist", T=3)
     spec = db.spec_from_config(
@@ -325,7 +346,7 @@ def bench_ped_cyl():
     )
     # point density (not object class mix) drives the radius-search
     # cost, so the car-scene synthetic frames are representative
-    frames = [synthetic_lidar_frame(seed=i)[0] for i in range(8)]
+    frames = [_bench_frame(i) for i in range(8)]
     n = 16
     stream_frames = [frames[i % len(frames)] for i in range(n)]
     for _ in pipe.stream(stream_frames[:4], raw=True):  # warm/compile

@@ -206,3 +206,92 @@ def test_native_nms_parity_all_variants():
             np.testing.assert_allclose(
                 sn, sp, rtol=1e-7, atol=1e-9, err_msg=fn.__name__
             )
+
+
+def _quantized_corners(boxes, factor):
+    return np.int32(nms.boxes_3d_to_corners(boxes) * factor).astype(
+        np.float64
+    )
+
+
+def test_rasterized_overlap_converges_to_exact():
+    """At high appr_factor the pixel-count approximation approaches the
+    exact convex-clip overlap (reference nms.py:29-62 vs :64-88)."""
+    rng = np.random.default_rng(0)
+    boxes = np.stack(
+        [
+            _box(
+                x=rng.uniform(-3, 3), z=rng.uniform(-3, 3),
+                l=rng.uniform(2, 5), w=rng.uniform(1, 3),
+                yaw=rng.uniform(-np.pi, np.pi), y=rng.uniform(-0.5, 0.5),
+                h=rng.uniform(1, 2),
+            )
+            for _ in range(12)
+        ]
+    )
+    factor = 200.0
+    corners_q = _quantized_corners(boxes, factor)
+    exact = iou.overlapped_boxes_3d(corners_q[0], corners_q[1:])
+    approx = iou.overlapped_boxes_3d_rasterized(corners_q[0], corners_q[1:])
+    np.testing.assert_allclose(approx, exact, atol=0.03)
+    # rasterization counts something real: every strongly-overlapping
+    # pair is detected as such
+    assert np.all((exact > 0.2) == (approx > 0.2))
+
+
+def test_rasterized_overlap_identical_boxes():
+    boxes = np.stack([_box(), _box()])
+    corners_q = _quantized_corners(boxes, 100.0)
+    ov = iou.overlapped_boxes_3d_rasterized(corners_q[0], corners_q[1:])
+    assert ov[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rasterized_overlap_disjoint_aabb_prefilter():
+    boxes = np.stack([_box(), _box(x=100.0)])
+    corners_q = _quantized_corners(boxes, 100.0)
+    ov = iou.overlapped_boxes_3d_rasterized(corners_q[0], corners_q[1:])
+    assert ov[0] == 0.0
+
+
+def test_numpy_scanline_matches_cv2_fill():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        # realistic use: rotated box footprints quantized to pixels
+        l, w = rng.uniform(15, 30), rng.uniform(8, 20)
+        yaw = rng.uniform(-np.pi, np.pi)
+        cx, cz = rng.uniform(25, 40, size=2)
+        rect = np.array(
+            [[l / 2, w / 2], [l / 2, -w / 2], [-l / 2, -w / 2],
+             [-l / 2, w / 2]]
+        )
+        rot = np.array(
+            [[np.cos(yaw), np.sin(yaw)], [-np.sin(yaw), np.cos(yaw)]]
+        )
+        quad = np.int32(rect @ rot + [cx, cz])
+        ref = np.zeros((64, 64), dtype=np.int32)
+        cv2.fillPoly(ref, [quad], color=1)
+        ours = np.zeros((64, 64), dtype=np.int32)
+        iou._fill_convex_quad(ours, quad)
+        # scanline endpoint conventions differ by at most the boundary
+        # pixels; interiors must agree
+        diff = np.abs(ref - ours).sum()
+        assert diff <= 4 * 60  # boundary band only
+        inter = np.count_nonzero(ref * ours)
+        assert inter >= 0.9 * max(np.count_nonzero(ref), 1)
+
+
+def test_nms_boxes_3d_with_rasterized_backend():
+    """nms_boxes_3d runs end-to-end with the legacy backend plugged in
+    (the reference's default wiring, nms.py:241-255)."""
+    boxes = np.stack([_box(), _box(x=0.1), _box(x=30.0)])
+    classes = np.array([1, 1, 1])
+    scores = np.array([0.9, 0.8, 0.7])
+    cls_out, boxes_out, scores_out, _ = nms.nms_boxes_3d(
+        classes, boxes, scores,
+        overlapped_thres=0.5,
+        overlapped_fn=iou.overlapped_boxes_3d_rasterized,
+        appr_factor=100.0,
+    )
+    assert len(scores_out) == 2  # near-duplicate suppressed, far box kept
+    assert scores_out[0] == pytest.approx(0.9)
