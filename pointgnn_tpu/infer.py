@@ -106,6 +106,7 @@ class InferencePipeline:
         max_hypotheses: int = 4096,
         pallas_tail="auto",
         slab="auto",
+        slab_tuning: Optional[Dict] = None,
     ):
         import jax
 
@@ -185,14 +186,24 @@ class InferencePipeline:
             )
             from pointgnn_tpu.graph.device_builder import slab_grid_of
 
+            # optional kernel tuning ({"block_centers": .., "tile": ..},
+            # or {"level0": {...}, "level1": {...}} for per-level values)
+            tuning = slab_tuning or {}
+            t_l1 = tuning.get("level1", tuning)
+            t_l0 = tuning.get("level0", tuning)
+            pick = lambda t: {  # noqa: E731
+                k: t[k] for k in ("block_centers", "tile") if k in t
+            }
             slab_level1 = {
                 "grid_g": slab_grid_of(self.device_spec.level1)[1],
                 "radius": self.device_spec.level1.radius,
+                **pick(t_l1),
             }
             if self.device_spec.slab_level0:
                 slab_level0 = {
                     "grid_g": slab_grid_of(self.device_spec.level0)[1],
                     "radius": self.device_spec.level0.radius,
+                    **pick(t_l0),
                 }
         self.model = get_model(config["model_name"])(
             num_classes=self.num_classes,

@@ -199,6 +199,10 @@ class PointSetPooling:
                 pk.slab_edge_max_train if slab.get("train")
                 else pk.slab_edge_max
             )
+            tuning = {
+                k: slab[k] for k in ("block_centers", "tile")
+                if k in slab
+            }
             agg = slab_fn(
                 table_a, src4, table_b, ctr4,
                 slab["offsets"], slab["center_cell"],
@@ -206,6 +210,7 @@ class PointSetPooling:
                 grid_g=slab["grid_g"], radius=slab["radius"],
                 compute_dtype=jnp.dtype(cd).name,
                 interpret=(jax.default_backend() != "tpu"),
+                **tuning,
             )
             agg = agg.astype(point_features.dtype)
             out = mlp.apply_mlp(
@@ -496,6 +501,10 @@ class GraphNetAutoCenter:
                     pk.slab_edge_max_train if slab.get("train")
                     else pk.slab_edge_max
                 )
+                tuning = {
+                    k: slab[k] for k in ("block_centers", "tile")
+                    if k in slab
+                }
                 agg = slab_fn(
                     table_a.astype(jnp.float32), src4,
                     table_b.astype(jnp.float32), ctr4,
@@ -504,6 +513,7 @@ class GraphNetAutoCenter:
                     grid_g=slab["grid_g"], radius=slab["radius"],
                     compute_dtype=jnp.dtype(cd).name,
                     interpret=(jax.default_backend() != "tpu"),
+                    **tuning,
                 )
                 agg = agg.astype(vertex_features.dtype)
                 update = mlp.apply_mlp(

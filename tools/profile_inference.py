@@ -16,17 +16,23 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, n=10, label=""):
+def _sync(out):
+    """Fetch ONE small slice (a full device_get of a big output tree
+    costs seconds over the ~10MB/s D2H tunnel and corrupts the timing;
+    block_until_ready is a no-op on this backend)."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timed(fn, *args, n=10, label=""):
     out = fn(*args)  # compile
-    jax.tree.map(
-        lambda x: np.asarray(x).ravel()[:1], out
-    )  # real sync (block_until_ready is a no-op on the tunnel)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x).ravel()[:1], out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n * 1e3
     print("%-28s %8.2f ms" % (label, dt))
     return dt
@@ -40,6 +46,10 @@ def main():
     ap.add_argument("--num_points", type=int, default=24576)
     ap.add_argument("--num_keypoints", type=int, default=12288)
     ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep slab (block_centers, tile)")
+    ap.add_argument("--no_layers", action="store_true",
+                    help="skip the per-T layer attribution")
     args = ap.parse_args()
 
     import jax
@@ -80,12 +90,43 @@ def main():
     )(packed))
     model = pipe.model
     fwd = jax.jit(lambda params, g: model.apply(params, g))
-    timed(fwd, pipe.params, graph, n=args.n, label="GNN forward")
+    timed(fwd, pipe.params, graph, n=args.n, label="GNN forward (T=%d)" % args.T)
+
+    # per-layer attribution: rebuild with fewer GNN iterations; the
+    # T->T-1 delta is one slab level-1 GNN layer, T=0 is set pooling +
+    # predictor + graph build overheadless forward
+    for t in range(0 if args.no_layers else args.T):
+        sub_cfg = configs.model_config(args.label_method, T=t)
+        sub_pipe = InferencePipeline(
+            sub_cfg, on_device_graph=True, use_box_score=False,
+            device_spec=spec,
+        )
+        timed(
+            sub_pipe._device_fn, sub_pipe.params, packed, n=args.n,
+            label="fused program T=%d" % t,
+        )
 
     timed(
         pipe._device_fn, pipe.params, packed, n=args.n,
         label="full fused program",
     )
+
+    if args.sweep:
+        for bk in (8, 16, 32, 64):
+            for tile in (64, 128, 256):
+                try:
+                    p = InferencePipeline(
+                        cfg, on_device_graph=True, use_box_score=False,
+                        device_spec=spec,
+                        slab_tuning={"block_centers": bk, "tile": tile},
+                    )
+                    timed(
+                        p._device_fn, p.params, packed, n=args.n,
+                        label="sweep bk=%d tile=%d" % (bk, tile),
+                    )
+                except Exception as exc:
+                    print("sweep bk=%d tile=%d FAILED: %r"
+                          % (bk, tile, exc))
 
 
 if __name__ == "__main__":
