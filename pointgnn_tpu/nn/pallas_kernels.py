@@ -281,14 +281,15 @@ def edge_tail_max(
 
 def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                  *rest, num_weights: int, bk: int, tile: int, h: int,
-                 grid_g: int, radius: float,
+                 h_pad: int, grid_g: int, radius: float,
                  compute_dtype: str = "bfloat16",
                  clamp_out: bool = True):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
-    table_a_ref, src_xyz_ref = rest[num_weights:num_weights + 2]
-    out_ref = rest[num_weights + 2]
-    a_tile, x_tile, sems = rest[num_weights + 3:]
+    table_a_ref = rest[num_weights]   # fused [P+tile, h_pad]: features
+    #                                   in lanes [:h], xyz in [h:h+3]
+    out_ref = rest[num_weights + 1]
+    a_tiles, sems = rest[num_weights + 2:]  # double-buffered (2, tile, h_pad)
     ncells = grid_g * grid_g
     i = pl.program_id(0)
     row = i % 8  # cells arrive as (8, bk) SMEM blocks (sublane rule)
@@ -318,33 +319,23 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         axis=0,
     ).astype(cdt)
     ctr3 = ctr_xyz_ref[:][:, :3]
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, h_pad), 1)
     axes_rows = [
-        (lane3 == ax).astype(jnp.float32) for ax in range(3)
+        (lane_hp == (h + ax)).astype(jnp.float32) for ax in range(3)
     ]
 
-    def tile_compute(off, acc):
-        cp_a = pltpu.make_async_copy(
-            table_a_ref.at[pl.ds(off, tile), :], a_tile, sems.at[0]
-        )
-        cp_x = pltpu.make_async_copy(
-            src_xyz_ref.at[pl.ds(off, tile), :], x_tile, sems.at[1]
-        )
-        cp_a.start()
-        cp_x.start()
-        cp_a.wait()
-        cp_x.wait()
-        x3 = x_tile[:][:, :3]  # lane-padded to 128; first 3 lanes real
+    def tile_compute(a_full, acc):
         # d^2 in [bk, tile] layout, no transposes: per-axis candidate
-        # coordinate ROWS [1, tile] are extracted with unit-vector dots
-        # (Precision.HIGHEST — the default bf16 matmul precision puts
-        # ~0.3% error on coordinates, flipping the radius test near the
-        # boundary), then differenced exactly against the center
-        # coordinate COLUMNS [bk, 1].  No |s|^2-2sc+|c|^2 cancellation.
+        # coordinate ROWS [1, tile] are extracted from the fused table's
+        # xyz lanes with unit-vector dots (Precision.HIGHEST — the
+        # default bf16 matmul precision puts ~0.3% error on coordinates,
+        # flipping the radius test near the boundary), then differenced
+        # exactly against the center coordinate COLUMNS [bk, 1].
+        # No |s|^2-2sc+|c|^2 cancellation.
         d2 = jnp.zeros((bk, tile), jnp.float32)
         for ax in range(3):
             row = jax.lax.dot_general(
-                axes_rows[ax], x3, (((1,), (1,)), ((), ())),
+                axes_rows[ax], a_full, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # [1, tile]
@@ -352,7 +343,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             d2 = d2 + diff * diff
         mask = d2 <= r2  # sentinel coords (1e6) and padding auto-fail
 
-        a_cd = a_tile[:][:, :h].astype(cdt)
+        a_cd = a_full[:, :h].astype(cdt)
         a_rep = jnp.concatenate([a_cd] * bk, axis=0)  # [bk*tile, h]
         x = jnp.maximum(a_rep - b_rows, 0.0)
         for wi in range(0, num_weights, 2):
@@ -394,8 +385,27 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         span = hi - base
         nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
 
+        def get_dma(slot, t):
+            return pltpu.make_async_copy(
+                table_a_ref.at[pl.ds(base + t * tile, tile), :],
+                a_tiles.at[slot], sems.at[slot],
+            )
+
+        @pl.when(nt > 0)
+        def _warm():
+            get_dma(0, 0).start()
+
         def t_body(t, acc):
-            return tile_compute(base + t * tile, acc)
+            slot = jax.lax.rem(t, 2)
+            # prefetch the next tile into the other buffer while this
+            # one computes (the grid runs sequentially on the one core;
+            # un-hidden DMA waits are pure stall)
+            @pl.when(t + 1 < nt)
+            def _prefetch():
+                get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+            get_dma(slot, t).wait()
+            return tile_compute(a_tiles[slot], acc)
 
         return jax.lax.fori_loop(0, nt, t_body, acc)
 
@@ -438,11 +448,17 @@ def slab_edge_max(
     grid_g: int,
     radius: float,
     block_centers: int = 32,
-    tile: int = 128,
+    tile: int = 32,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
+
+    Defaults (bk=32, tile=32) are the v5e sweep optimum on the
+    realistic-density car workload (P=24K/K=12K, 90m extent): small
+    tiles minimize aligned-window overfetch compute, and the
+    double-buffered single-DMA tile loop hides the per-tile copy
+    latency that used to penalize them (59.1 -> 48.3 ms full program).
 
     Candidates (``table_a``/``src_xyz``, P rows in ``offsets``' cell
     order) and centers (``table_b``/``ctr_xyz``, K rows) may be
@@ -471,6 +487,15 @@ def _pick_bk(k, block_centers, what):
     return bk
 
 
+def _cast_weights(weights, compute_dtype):
+    weight_args = []
+    for idx, wb in enumerate(weights):
+        if idx % 2 == 1:
+            wb = wb.reshape(1, -1)
+        weight_args.append(jnp.asarray(wb, jnp.dtype(compute_dtype)))
+    return weight_args
+
+
 def _slab_prep(table_a, src_xyz, weights, tile, h, compute_dtype):
     """Pad the DMA'd tables (+tile rows so aligned tiles may read past
     the last row; lane dims to multiples of 128 — Mosaic requires DMA
@@ -481,12 +506,25 @@ def _slab_prep(table_a, src_xyz, weights, tile, h, compute_dtype):
         src_xyz, ((0, tile), (0, 128 - src_xyz.shape[1])),
         constant_values=1e6,
     )
-    weight_args = []
-    for idx, wb in enumerate(weights):
-        if idx % 2 == 1:
-            wb = wb.reshape(1, -1)
-        weight_args.append(jnp.asarray(wb, jnp.dtype(compute_dtype)))
-    return table_a, src_xyz, weight_args, h_pad
+    return table_a, src_xyz, _cast_weights(weights, compute_dtype), h_pad
+
+
+def _slab_prep_fused(table_a, src_xyz, weights, tile, h, compute_dtype):
+    """Forward-path prep: pack xyz into table_a's padding lanes so the
+    tile loop issues ONE DMA per tile (h=300 pads to 384 lanes anyway,
+    so the xyz columns ride for free).  Pad rows/lanes carry the 1e6
+    sentinel — pad-row coordinates must fail the distance test, and the
+    sentinel lanes are only ever touched by zero-lanes of the coordinate
+    unit-row dots (0 * 1e6 == 0)."""
+    h_xyz = h + src_xyz.shape[1]
+    h_pad = -(-h_xyz // 128) * 128
+    fused = jnp.concatenate(
+        [table_a, src_xyz.astype(table_a.dtype)], axis=1
+    )
+    fused = jnp.pad(
+        fused, ((0, tile), (0, h_pad - h_xyz)), constant_values=1e6
+    )
+    return fused, _cast_weights(weights, compute_dtype), h_pad
 
 
 def _slab_forward(
@@ -497,7 +535,7 @@ def _slab_forward(
     k, h = table_b.shape[0], table_a.shape[1]
     bk = _pick_bk(k, block_centers, "slab_edge_max")
     h_out = weights[-2].shape[1] if weights else h
-    table_a, src_xyz, weight_args, h_pad = _slab_prep(
+    table_fused, weight_args, h_pad = _slab_prep_fused(
         table_a, src_xyz, weights, tile, h, compute_dtype
     )
 
@@ -513,13 +551,13 @@ def _slab_forward(
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args
     ]
     in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),                        # table_a
-        pl.BlockSpec(memory_space=pl.ANY),                        # src_xyz
+        pl.BlockSpec(memory_space=pl.ANY),                 # fused table
     ]
     kernel = functools.partial(
         _slab_kernel,
         num_weights=len(weight_args),
-        bk=bk, tile=tile, h=h, grid_g=grid_g, radius=float(radius),
+        bk=bk, tile=tile, h=h, h_pad=h_pad,
+        grid_g=grid_g, radius=float(radius),
         compute_dtype=compute_dtype,
         clamp_out=clamp_out,
     )
@@ -530,8 +568,7 @@ def _slab_forward(
         out_specs=pl.BlockSpec((bk, h_out), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((k, h_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile, h_pad), jnp.float32),
-            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.VMEM((2, tile, h_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -539,7 +576,7 @@ def _slab_forward(
         ),
         interpret=interpret,
     )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
-      *weight_args, table_a, src_xyz)
+      *weight_args, table_fused)
 
 
 # ---------------------------------------------------------------------------

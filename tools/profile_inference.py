@@ -74,16 +74,21 @@ def main():
     packed = jax.device_put(
         db.pack_points(points.xyz, feats, spec.num_points)
     )
+    spec_slab = spec._replace(slab_level1=True, slab_level0=True)
     print(
         "workload: %d raw points, spec P=%d K=%d, %s T=%d"
         % (len(points.xyz), spec.num_points, spec.num_keypoints,
            args.label_method, args.T)
     )
 
+    build_slab = jax.jit(
+        lambda p: db.build_padded_graph(*db.unpack_points(p), spec_slab)
+    )
+    timed(build_slab, packed, n=args.n, label="graph build (slab mode)")
     build = jax.jit(
         lambda p: db.build_padded_graph(*db.unpack_points(p), spec)
     )
-    timed(build, packed, n=args.n, label="graph build (slab meta)")
+    timed(build, packed, n=args.n, label="graph build (edge lists)")
 
     graph = jax.device_put(jax.jit(
         lambda p: db.build_padded_graph(*db.unpack_points(p), spec)
