@@ -496,19 +496,6 @@ def _cast_weights(weights, compute_dtype):
     return weight_args
 
 
-def _slab_prep(table_a, src_xyz, weights, tile, h, compute_dtype):
-    """Pad the DMA'd tables (+tile rows so aligned tiles may read past
-    the last row; lane dims to multiples of 128 — Mosaic requires DMA
-    slice widths aligned to the tiling) and cast weights."""
-    h_pad = -(-h // 128) * 128
-    table_a = jnp.pad(table_a, ((0, tile), (0, h_pad - h)))
-    src_xyz = jnp.pad(
-        src_xyz, ((0, tile), (0, 128 - src_xyz.shape[1])),
-        constant_values=1e6,
-    )
-    return table_a, src_xyz, _cast_weights(weights, compute_dtype), h_pad
-
-
 def _slab_prep_fused(table_a, src_xyz, weights, tile, h, compute_dtype):
     """Forward-path prep: pack xyz into table_a's padding lanes so the
     tile loop issues ONE DMA per tile (h=300 pads to 384 lanes anyway,
@@ -621,14 +608,15 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                      radius: float, compute_dtype: str):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
-    table_a_ref, src_xyz_ref = rest[num_weights:num_weights + 2]
-    # rest[num_weights + 2] is the aliased d_table_a INPUT placeholder;
+    table_a_ref = rest[num_weights]   # fused [P+tile, h_pad], xyz in
+    #                                   lanes [h:h+3] (forward layout)
+    # rest[num_weights + 1] is the aliased d_table_a INPUT placeholder;
     # read/write goes through the aliased OUTPUT ref below.
-    da_out_ref = rest[num_weights + 3]
-    db_out_ref = rest[num_weights + 4]
-    dw_refs = rest[num_weights + 5:num_weights + 5 + num_weights]
-    scratch = rest[num_weights + 5 + num_weights:]
-    a_tile, x_tile, da_tile, sems = scratch
+    da_out_ref = rest[num_weights + 2]
+    db_out_ref = rest[num_weights + 3]
+    dw_refs = rest[num_weights + 4:num_weights + 4 + num_weights]
+    scratch = rest[num_weights + 4 + num_weights:]
+    a_tiles, da_tile, sems = scratch
     ncells = grid_g * grid_g
     i = pl.program_id(0)
     row = i % 8
@@ -659,32 +647,27 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         axis=0,
     ).astype(cdt)
     ctr3 = ctr_xyz_ref[:][:, :3]
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, h_pad), 1)
     axes_rows = [
-        (lane3 == ax).astype(jnp.float32) for ax in range(3)
+        (lane_hp == (h + ax)).astype(jnp.float32) for ax in range(3)
     ]
     acc_rows = acc_ref[:]   # [bk, h_out] raw forward max
     g_rows = g_ref[:]       # [bk, h_out] cotangent
 
     n_layers = num_weights // 2
 
-    def tile_compute(off, lo, hi, carry):
+    def tile_compute(off, lo, hi, a_full, carry):
         db_acc, dw_accs = carry
-        cp_a = pltpu.make_async_copy(
-            table_a_ref.at[pl.ds(off, tile), :], a_tile, sems.at[0]
+        # start the d_table_a read now — it's only needed at the final
+        # read-modify-write, so it overlaps the whole recompute
+        cp_in = pltpu.make_async_copy(
+            da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
         )
-        cp_x = pltpu.make_async_copy(
-            src_xyz_ref.at[pl.ds(off, tile), :], x_tile, sems.at[1]
-        )
-        cp_a.start()
-        cp_x.start()
-        cp_a.wait()
-        cp_x.wait()
-        x3 = x_tile[:][:, :3]
+        cp_in.start()
         d2 = jnp.zeros((bk, tile), jnp.float32)
         for ax in range(3):
             rrow = jax.lax.dot_general(
-                axes_rows[ax], x3, (((1,), (1,)), ((), ())),
+                axes_rows[ax], a_full, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -701,7 +684,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         mask = mask & in_span
 
         # ---- forward recompute, keeping activations -----------------
-        a_cd = a_tile[:][:, :h].astype(cdt)
+        a_cd = a_full[:, :h].astype(cdt)
         a_rep = jnp.concatenate([a_cd] * bk, axis=0)
         x0 = jnp.maximum(a_rep - b_rows, 0.0)
         acts = [x0]
@@ -753,10 +736,6 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         db_contrib = -jnp.sum(dab3, axis=1)      # [bk, h]
 
         # ---- read-modify-write d_table_a tile (sequential grid) -----
-        cp_in = pltpu.make_async_copy(
-            da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
-        )
-        cp_in.start()
         cp_in.wait()
         da_tile[:] = da_tile[:] + jnp.pad(
             da_contrib, ((0, 0), (0, h_pad - h))
@@ -795,8 +774,27 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         span = hi - base
         nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
 
+        def get_a(slot, t):
+            return pltpu.make_async_copy(
+                table_a_ref.at[pl.ds(base + t * tile, tile), :],
+                a_tiles.at[slot], sems.at[slot],
+            )
+
+        @pl.when(nt > 0)
+        def _warm():
+            get_a(0, 0).start()
+
         def t_body(t, tcarry):
-            return tile_compute(base + t * tile, lo, hi, tcarry)
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < nt)
+            def _prefetch():
+                get_a(jax.lax.rem(t + 1, 2), t + 1).start()
+
+            get_a(slot, t).wait()
+            return tile_compute(
+                base + t * tile, lo, hi, a_tiles[slot], tcarry
+            )
 
         return jax.lax.fori_loop(0, nt, t_body, carry)
 
@@ -823,7 +821,7 @@ def _slab_backward(
     k, h = table_b.shape[0], table_a.shape[1]
     p = table_a.shape[0]
     bk = _pick_bk(k, block_centers, "slab_edge_max (backward)")
-    table_a_p, src_xyz_p, weight_args, h_pad = _slab_prep(
+    table_fused, weight_args, h_pad = _slab_prep_fused(
         table_a, src_xyz, weights, tile, h, compute_dtype
     )
     da_init = jnp.zeros((p + tile, h_pad), jnp.float32)
@@ -842,9 +840,8 @@ def _slab_backward(
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args
     ]
     in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),                        # table_a
-        pl.BlockSpec(memory_space=pl.ANY),                        # src_xyz
-        pl.BlockSpec(memory_space=pl.ANY),                        # da_init
+        pl.BlockSpec(memory_space=pl.ANY),                 # fused table
+        pl.BlockSpec(memory_space=pl.ANY),                 # da_init
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),                        # d_table_a
@@ -869,7 +866,7 @@ def _slab_backward(
         bk=bk, tile=tile, h=h, h_pad=h_pad, grid_g=grid_g,
         radius=float(radius), compute_dtype=compute_dtype,
     )
-    n_in_before_da = 6 + len(weight_args) + 2
+    n_in_before_da = 6 + len(weight_args) + 1
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -878,8 +875,7 @@ def _slab_backward(
         out_shape=out_shapes,
         input_output_aliases={n_in_before_da: 0},
         scratch_shapes=[
-            pltpu.VMEM((tile, h_pad), jnp.float32),
-            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.VMEM((2, tile, h_pad), jnp.float32),
             pltpu.VMEM((tile, h_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -889,7 +885,7 @@ def _slab_backward(
         ),
         interpret=interpret,
     )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
-      g, raw_acc, *weight_args, table_a_p, src_xyz_p, da_init)
+      g, raw_acc, *weight_args, table_fused, da_init)
     d_table_a = outs[0][:p, :h]
     d_table_b = outs[1]
     d_weights = []
