@@ -46,13 +46,19 @@ class LevelSpec(NamedTuple):
     cell_cap: int        # max candidates stored per grid cell (M)
     per_center_cap: int  # max neighbors kept per center (edge budget/K)
     grid_xz: int = 256   # dense 2D grid extent (cells per side)
-    # slab-kernel grid: cell size may exceed the radius (3x3 coverage
-    # only needs cell >= radius; larger cells mean distance-filtered
-    # overfetch) so the [slab_grid^2+1] offsets table fits SMEM (~1MB
-    # on v5e — radius 0.4 at 260m extent would need a 650^2 table).
-    # 0 means "use radius / grid_xz".
+    # slab-kernel grid: cell size is decoupled from the radius — the
+    # kernel walks a (2*halo+1)^2 cell window with halo =
+    # ceil(radius / cell).  Cells LARGER than the radius keep the
+    # [slab_grid^2+1] offsets table inside SMEM (~1MB on v5e — radius
+    # 0.4 at a 260m extent would need a 650^2 table); cells SMALLER
+    # than the radius (halo 2+) tighten the window around the ball
+    # (a 3x3 radius-sized window overfetches 9/pi = 2.9x; 5x5 half
+    # cells only 2.0x), which pays off when the edge-MLP tables are
+    # wide and window MXU compute dominates.  0 means "radius /
+    # grid_xz".
     slab_cell: float = 0.0
     slab_grid: int = 0
+    slab_halo: int = 1
     # compact candidates with jax.lax.approx_max_k (the TPU PartialReduce
     # instruction) instead of exact top_k: several times faster at these
     # widths, at the cost of dropping ~(1-recall) of the in-radius
@@ -93,13 +99,18 @@ def spec_from_config(
     runtime: bool = True,
     cell_caps: Tuple[int, int] = (96, 192),
     per_center_caps: Tuple[int, int] = (32, 256),
-    world_extent: float = 260.0,
+    world_extent: float = 130.0,
     approx_topk: bool = False,
 ) -> DeviceGraphSpec:
     """Derive the spec from a reference-format model config.
 
     ``world_extent`` bounds the dense grid (cells outside are clamped
-    into the border cells, where the distance test rejects them)."""
+    into the border cells, where the distance test rejects them).  The
+    default covers the KITTI camera frustum (~91m lateral span, ~80m
+    forward; grids use a per-frame origin) with margin; oversizing it
+    inflates the SMEM-bounded slab cell floor ``extent/256`` and with
+    it the small-radius levels' window overfetch (measured: ped_cyl
+    fused program 55 -> 50.6 ms going 260 -> 130)."""
     kwargs = config["runtime_graph_gen_kwargs" if runtime else
                     "graph_gen_kwargs"]
     levels = kwargs["level_configs"]
@@ -115,12 +126,22 @@ def spec_from_config(
     def level(i, cell_cap, per_center_cap):
         r = float(levels[i]["graph_gen_kwargs"]["radius"])
         grid = int(np.clip(int(np.ceil(world_extent / r)), 32, 512))
-        # slab grid: bound the offsets table to 256^2 cells (SMEM)
+        # slab grid: radius-sized cells (halo 1), floored at 256^2
+        # offsets (SMEM).  Finer cells (halo 2, cell = r/2) tighten the
+        # candidate window geometrically (9/pi -> 2.0x overfetch) and
+        # measured ~12% faster at the isolated-kernel level, but LOSE
+        # ~9% end-to-end: the extra columns each pay the zscan +
+        # one-tile fixed costs, and block z-spans grow on the finer
+        # grid.  The mechanism stays (LevelSpec.slab_halo + the
+        # kernels' halo arg, halo-parity tested) for denser workloads
+        # where window compute dominates again.
         slab_cell = max(r, world_extent / 256.0)
+        slab_halo = int(np.ceil(r / slab_cell - 1e-9))
         slab_grid = int(np.ceil(world_extent / slab_cell))
         return LevelSpec(
             r, cell_cap, per_center_cap, grid_xz=grid,
             slab_cell=slab_cell, slab_grid=slab_grid,
+            slab_halo=slab_halo,
             approx_topk=approx_topk,
         )
 

@@ -197,12 +197,14 @@ class InferencePipeline:
             slab_level1 = {
                 "grid_g": slab_grid_of(self.device_spec.level1)[1],
                 "radius": self.device_spec.level1.radius,
+                "halo": self.device_spec.level1.slab_halo,
                 **pick(t_l1),
             }
             if self.device_spec.slab_level0:
                 slab_level0 = {
                     "grid_g": slab_grid_of(self.device_spec.level0)[1],
                     "radius": self.device_spec.level0.radius,
+                    "halo": self.device_spec.level0.slab_halo,
                     **pick(t_l0),
                 }
         self.model = get_model(config["model_name"])(

@@ -208,6 +208,7 @@ class PointSetPooling:
                 slab["offsets"], slab["center_cell"],
                 tuple(tail_weights),
                 grid_g=slab["grid_g"], radius=slab["radius"],
+                halo=slab.get("halo", 1),
                 compute_dtype=jnp.dtype(cd).name,
                 interpret=(jax.default_backend() != "tpu"),
                 **tuning,
@@ -511,6 +512,7 @@ class GraphNetAutoCenter:
                     slab["offsets"], slab["center_cell"],
                     tuple(tail_weights),
                     grid_g=slab["grid_g"], radius=slab["radius"],
+                    halo=slab.get("halo", 1),
                     compute_dtype=jnp.dtype(cd).name,
                     interpret=(jax.default_backend() != "tpu"),
                     **tuning,

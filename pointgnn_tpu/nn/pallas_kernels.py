@@ -281,7 +281,7 @@ def edge_tail_max(
 
 def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                  *rest, num_weights: int, bk: int, tile: int, h: int,
-                 h_pad: int, grid_g: int, radius: float,
+                 h_pad: int, grid_g: int, radius: float, halo: int = 1,
                  compute_dtype: str = "bfloat16",
                  clamp_out: bool = True):
     cdt = jnp.dtype(compute_dtype)
@@ -311,40 +311,44 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         0, bk, minmax_body, (jnp.int32(2 ** 30), jnp.int32(-1))
     )
 
-    # per-program precompute: B rows repeated over each center's slots,
-    # and the squared-norm / coordinate views of the centers
+    # per-program precompute: B rows repeated over each center's slots
+    # (hoisted — one [bk*tile, h] build per program, not per tile), and
+    # the unit-row matrix that extracts candidate coordinates from the
+    # fused tile
     b = table_b_ref[:]
     b_rows = jnp.concatenate(
         [jnp.broadcast_to(b[c:c + 1, :], (tile, h)) for c in range(bk)],
         axis=0,
     ).astype(cdt)
     ctr3 = ctr_xyz_ref[:][:, :3]
-    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, h_pad), 1)
-    axes_rows = [
-        (lane_hp == (h + ax)).astype(jnp.float32) for ax in range(3)
-    ]
+    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (8, h_pad), 1)
+    sub_hp = jax.lax.broadcasted_iota(jnp.int32, (8, h_pad), 0)
+    unit3 = (lane_hp == (h + sub_hp)).astype(jnp.float32)
 
     def tile_compute(a_full, acc):
-        # d^2 in [bk, tile] layout, no transposes: per-axis candidate
-        # coordinate ROWS [1, tile] are extracted from the fused table's
-        # xyz lanes with unit-vector dots (Precision.HIGHEST — the
-        # default bf16 matmul precision puts ~0.3% error on coordinates,
-        # flipping the radius test near the boundary), then differenced
-        # exactly against the center coordinate COLUMNS [bk, 1].
-        # No |s|^2-2sc+|c|^2 cancellation.
+        # d^2 in [bk, tile] layout, no transposes: candidate coordinate
+        # ROWS are extracted from the fused table's xyz lanes with ONE
+        # unit-matrix MXU dot (row ax picks lane h+ax; Precision.HIGHEST
+        # — the default bf16 matmul precision puts ~0.3% error on
+        # coordinates, flipping the radius test near the boundary), then
+        # differenced exactly against the center coordinate COLUMNS
+        # [bk, 1].  No |s|^2-2sc+|c|^2 cancellation.
+        rows = jax.lax.dot_general(
+            unit3, a_full, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [8, tile]; rows 0..2 are x, y, z
         d2 = jnp.zeros((bk, tile), jnp.float32)
         for ax in range(3):
-            row = jax.lax.dot_general(
-                axes_rows[ax], a_full, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [1, tile]
-            diff = row - ctr3[:, ax:ax + 1]
+            diff = rows[ax:ax + 1, :] - ctr3[:, ax:ax + 1]
             d2 = d2 + diff * diff
         mask = d2 <= r2  # sentinel coords (1e6) and padding auto-fail
 
+        # pltpu.repeat is Mosaic's native whole-array repeat — the
+        # jnp.concatenate([a_cd] * bk) it replaces emitted bk separate
+        # VMEM copies per tile (~2.5GB of traffic per layer)
         a_cd = a_full[:, :h].astype(cdt)
-        a_rep = jnp.concatenate([a_cd] * bk, axis=0)  # [bk*tile, h]
+        a_rep = pltpu.repeat(a_cd, bk, axis=0)  # [bk*tile, h]
         x = jnp.maximum(a_rep - b_rows, 0.0)
         for wi in range(0, num_weights, 2):
             w = weight_refs[wi][:]
@@ -359,7 +363,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         return jnp.maximum(acc, jnp.max(x3d, axis=1))
 
     def col_body(col, acc):
-        x0 = jnp.maximum(cmin // grid_g - 1, 0)
+        x0 = jnp.maximum(cmin // grid_g - halo, 0)
         xc = x0 + col
 
         def zscan(j, carry):
@@ -367,7 +371,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             cc = ccell_ref[row, j]
             xj = cc // grid_g
             zj = cc % grid_g
-            use = (cc < ncells) & (jnp.abs(xj - xc) <= 1)
+            use = (cc < ncells) & (jnp.abs(xj - xc) <= halo)
             return (
                 jnp.where(use, jnp.minimum(zlo, zj), zlo),
                 jnp.where(use, jnp.maximum(zhi, zj), zhi),
@@ -376,8 +380,8 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         zlo, zhi = jax.lax.fori_loop(
             0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
         )
-        zlo_c = jnp.maximum(zlo - 1, 0)
-        zhi_c = jnp.minimum(zhi + 1, grid_g - 1)
+        zlo_c = jnp.maximum(zlo - halo, 0)
+        zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
         lo = offsets_ref[xc * grid_g + zlo_c]
         hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
         hi = jnp.where(zhi >= 0, hi_raw, lo)
@@ -412,8 +416,8 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     h_out = weight_refs[-2].shape[1] if num_weights else h
     acc0 = jnp.full((bk, h_out), NEG, jnp.float32)
 
-    x0 = jnp.maximum(cmin // grid_g - 1, 0)
-    x1 = jnp.minimum(cmax // grid_g + 1, grid_g - 1)
+    x0 = jnp.maximum(cmin // grid_g - halo, 0)
+    x1 = jnp.minimum(cmax // grid_g + halo, grid_g - 1)
     ncols = jnp.where(cmax >= 0, x1 - x0 + 1, 0)
     acc = jax.lax.fori_loop(0, ncols, col_body, acc0)
     if clamp_out:
@@ -429,7 +433,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     jax.jit,
     static_argnames=(
         "grid_g", "radius", "block_centers", "tile", "interpret",
-        "compute_dtype",
+        "compute_dtype", "halo",
     ),
 )
 def slab_edge_max(
@@ -451,8 +455,14 @@ def slab_edge_max(
     tile: int = 32,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    halo: int = 1,
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
+
+    ``halo`` = ceil(radius / cell): the window walk spans +/-halo
+    cells.  halo 1 is the classic cell >= radius grid; halo 2 (half
+    cells) tightens the window around the radius ball — worth ~12% on
+    the wide L1 tables (window MXU compute dominates there).
 
     Defaults (bk=32, tile=32) are the v5e sweep optimum on the
     realistic-density car workload (P=24K/K=12K, 90m extent): small
@@ -468,7 +478,7 @@ def slab_edge_max(
     return _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=True,
+        compute_dtype, clamp_out=True, halo=halo,
     )
 
 
@@ -517,7 +527,7 @@ def _slab_prep_fused(table_a, src_xyz, weights, tile, h, compute_dtype):
 def _slab_forward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    clamp_out,
+    clamp_out, halo=1,
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     bk = _pick_bk(k, block_centers, "slab_edge_max")
@@ -544,7 +554,7 @@ def _slab_forward(
         _slab_kernel,
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, h_pad=h_pad,
-        grid_g=grid_g, radius=float(radius),
+        grid_g=grid_g, radius=float(radius), halo=halo,
         compute_dtype=compute_dtype,
         clamp_out=clamp_out,
     )
@@ -605,7 +615,7 @@ def _slab_forward(
 def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                      g_ref, acc_ref, *rest, num_weights: int, bk: int,
                      tile: int, h: int, h_pad: int, grid_g: int,
-                     radius: float, compute_dtype: str):
+                     radius: float, compute_dtype: str, halo: int = 1):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref = rest[num_weights]   # fused [P+tile, h_pad], xyz in
@@ -647,10 +657,9 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         axis=0,
     ).astype(cdt)
     ctr3 = ctr_xyz_ref[:][:, :3]
-    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, h_pad), 1)
-    axes_rows = [
-        (lane_hp == (h + ax)).astype(jnp.float32) for ax in range(3)
-    ]
+    lane_hp = jax.lax.broadcasted_iota(jnp.int32, (8, h_pad), 1)
+    sub_hp = jax.lax.broadcasted_iota(jnp.int32, (8, h_pad), 0)
+    unit3 = (lane_hp == (h + sub_hp)).astype(jnp.float32)
     acc_rows = acc_ref[:]   # [bk, h_out] raw forward max
     g_rows = g_ref[:]       # [bk, h_out] cotangent
 
@@ -664,14 +673,14 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
         )
         cp_in.start()
+        rows = jax.lax.dot_general(
+            unit3, a_full, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [8, tile]; rows 0..2 are x, y, z
         d2 = jnp.zeros((bk, tile), jnp.float32)
         for ax in range(3):
-            rrow = jax.lax.dot_general(
-                axes_rows[ax], a_full, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            diff = rrow - ctr3[:, ax:ax + 1]
+            diff = rows[ax:ax + 1, :] - ctr3[:, ax:ax + 1]
             d2 = d2 + diff * diff
         mask = d2 <= r2
         # exact column span: forward overfetch (aligned tiles spilling
@@ -685,7 +694,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
 
         # ---- forward recompute, keeping activations -----------------
         a_cd = a_full[:, :h].astype(cdt)
-        a_rep = jnp.concatenate([a_cd] * bk, axis=0)
+        a_rep = pltpu.repeat(a_cd, bk, axis=0)
         x0 = jnp.maximum(a_rep - b_rows, 0.0)
         acts = [x0]
         x = x0
@@ -748,7 +757,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         return db_acc + db_contrib, tuple(new_dw)
 
     def col_body(col, carry):
-        x0c = jnp.maximum(cmin // grid_g - 1, 0)
+        x0c = jnp.maximum(cmin // grid_g - halo, 0)
         xc = x0c + col
 
         def zscan(j, zcarry):
@@ -756,7 +765,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             cc = ccell_ref[row, j]
             xj = cc // grid_g
             zj = cc % grid_g
-            use = (cc < ncells) & (jnp.abs(xj - xc) <= 1)
+            use = (cc < ncells) & (jnp.abs(xj - xc) <= halo)
             return (
                 jnp.where(use, jnp.minimum(zlo, zj), zlo),
                 jnp.where(use, jnp.maximum(zhi, zj), zhi),
@@ -765,8 +774,8 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         zlo, zhi = jax.lax.fori_loop(
             0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
         )
-        zlo_c = jnp.maximum(zlo - 1, 0)
-        zhi_c = jnp.minimum(zhi + 1, grid_g - 1)
+        zlo_c = jnp.maximum(zlo - halo, 0)
+        zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
         lo = offsets_ref[xc * grid_g + zlo_c]
         hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
         hi = jnp.where(zhi >= 0, hi_raw, lo)
@@ -802,8 +811,8 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         jnp.zeros(ref.shape, jnp.float32) for ref in dw_refs
     )
     db0 = jnp.zeros((bk, h), jnp.float32)
-    x0c = jnp.maximum(cmin // grid_g - 1, 0)
-    x1c = jnp.minimum(cmax // grid_g + 1, grid_g - 1)
+    x0c = jnp.maximum(cmin // grid_g - halo, 0)
+    x1c = jnp.minimum(cmax // grid_g + halo, grid_g - 1)
     ncols = jnp.where(cmax >= 0, x1c - x0c + 1, 0)
     db_final, dw_final = jax.lax.fori_loop(
         0, ncols, col_body, (db0, dw0)
@@ -816,7 +825,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
 def _slab_backward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     raw_acc, g, grid_g, radius, block_centers, tile, interpret,
-    compute_dtype,
+    compute_dtype, halo=1,
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     p = table_a.shape[0]
@@ -864,7 +873,7 @@ def _slab_backward(
         _slab_bwd_kernel,
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, h_pad=h_pad, grid_g=grid_g,
-        radius=float(radius), compute_dtype=compute_dtype,
+        radius=float(radius), compute_dtype=compute_dtype, halo=halo,
     )
     n_in_before_da = 6 + len(weight_args) + 1
     outs = pl.pallas_call(
@@ -897,10 +906,11 @@ def _slab_backward(
     return d_table_a, d_table_b, tuple(d_weights)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _slab_train_p(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
+    halo=1,
 ):
     # All array inputs are PRIMALS (never close over tracers in a
     # custom_vjp — it leaks them across the remat/jit trace boundary);
@@ -908,18 +918,19 @@ def _slab_train_p(
     return _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=True,
+        compute_dtype, clamp_out=True, halo=halo,
     )
 
 
 def _slab_train_fwd(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
+    halo=1,
 ):
     raw = _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=False,
+        compute_dtype, clamp_out=False, halo=halo,
     )
     out = jnp.where(raw > NEG / 2, raw, 0.0)
     res = (table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
@@ -928,7 +939,7 @@ def _slab_train_fwd(
 
 
 def _slab_train_bwd(
-    grid_g, radius, block_centers, tile, interpret, compute_dtype,
+    grid_g, radius, block_centers, tile, interpret, compute_dtype, halo,
     res, g,
 ):
     import numpy as _np
@@ -938,7 +949,7 @@ def _slab_train_bwd(
     d_ta, d_tb, d_ws = _slab_backward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, raw, g.astype(jnp.float32), grid_g, radius,
-        block_centers, tile, interpret, compute_dtype,
+        block_centers, tile, interpret, compute_dtype, halo=halo,
     )
     float0 = jax.dtypes.float0
     return (
@@ -969,6 +980,7 @@ def slab_edge_max_train(
     tile: int = 128,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    halo: int = 1,
 ):
     """Differentiable :func:`slab_edge_max` for the training path.
 
@@ -982,5 +994,5 @@ def slab_edge_max_train(
     return _slab_train_p(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         tuple(weights), grid_g, radius, block_centers, tile, interpret,
-        compute_dtype,
+        compute_dtype, halo,
     )

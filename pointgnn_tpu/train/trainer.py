@@ -88,10 +88,12 @@ class Trainer:
                 model_extra["slab_level1"] = {
                     "grid_g": db.slab_grid_of(dspec.level1)[1],
                     "radius": dspec.level1.radius,
+                    "halo": dspec.level1.slab_halo,
                 }
                 model_extra["slab_level0"] = {
                     "grid_g": db.slab_grid_of(dspec.level0)[1],
                     "radius": dspec.level0.radius,
+                    "halo": dspec.level0.slab_halo,
                 }
             model_extra.update(edge_sentinel="src", edges_sorted=False)
             self.device_spec = dspec

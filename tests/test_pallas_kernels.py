@@ -721,3 +721,118 @@ def test_slab_train_under_jit_and_remat(rng):
     assert np.isfinite(float(val))
     leaves = jax.tree_util.tree_leaves(grads)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_slab_edge_max_halo2_matches_halo1():
+    """halo=2 (cell = radius/2, 5x5 window) must produce EXACTLY the
+    halo=1 (cell = radius, 3x3 window) output — the window is a
+    superset of the radius ball either way and the distance test is
+    exact, so the max aggregation is grid-invariant."""
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import slab_edge_max
+
+    rng = np.random.default_rng(3)
+    K, H, r = 256, 64, 2.0
+    tile, bk = 16, 16
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[250:] = False
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+
+    outs = {}
+    for halo in (1, 2):
+        cell_size = r / halo
+        g = int(np.ceil(16.0 / cell_size))
+        cx = np.clip((xyz[:, 0] // cell_size).astype(int), 0, g - 1)
+        cz = np.clip((xyz[:, 2] // cell_size).astype(int), 0, g - 1)
+        cell = np.where(valid, cx * g + cz, g * g)
+        order = np.argsort(cell, kind="stable")
+        inv = np.empty(K, np.int64)
+        inv[order] = np.arange(K)
+        xyz_s, cell_s, valid_s = xyz[order], cell[order], valid[order]
+        offsets = np.searchsorted(
+            cell_s, np.arange(g * g + 1)
+        ).astype(np.int32)
+        src4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+        src4[~valid_s] = 1e6
+        ctr4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+        ctr4[~valid_s] = -1e6
+        out = np.asarray(slab_edge_max(
+            jnp.asarray(A[order]), jnp.asarray(src4),
+            jnp.asarray(B[order]), jnp.asarray(ctr4),
+            jnp.asarray(offsets), jnp.asarray(cell_s.astype(np.int32)),
+            (jnp.asarray(w1), jnp.asarray(b1)),
+            grid_g=g, radius=r, block_centers=bk, tile=tile,
+            interpret=True, halo=halo,
+        ))
+        outs[halo] = out[inv]
+    np.testing.assert_array_equal(outs[2], outs[1])
+
+
+def test_slab_train_halo2_grads_match_halo1():
+    """The backward kernel's window walk honors halo: grads at halo=2
+    match halo=1 (same exact radius graph).  Only to f32 rounding —
+    the finer grid regroups centers into different bk-blocks, so the
+    d_w / d_table accumulations reassociate (measured ~6e-8 relative);
+    the forward stays bitwise equal because max is order-invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import slab_edge_max_train
+
+    rng = np.random.default_rng(4)
+    K, H, r = 128, 32, 2.0
+    xyz = np.stack(
+        [rng.uniform(0, 10, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 10, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+
+    grads = {}
+    for halo in (1, 2):
+        cell_size = r / halo
+        g = int(np.ceil(12.0 / cell_size))
+        cx = np.clip((xyz[:, 0] // cell_size).astype(int), 0, g - 1)
+        cz = np.clip((xyz[:, 2] // cell_size).astype(int), 0, g - 1)
+        cell = (cx * g + cz).astype(np.int64)
+        order = np.argsort(cell, kind="stable")
+        inv = np.empty(K, np.int64)
+        inv[order] = np.arange(K)
+        xyz_s, cell_s = xyz[order], cell[order]
+        offsets = np.searchsorted(
+            cell_s, np.arange(g * g + 1)
+        ).astype(np.int32)
+        src4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+        ctr4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+
+        def loss(ta, tb, ws):
+            out = slab_edge_max_train(
+                ta, jnp.asarray(src4), tb, jnp.asarray(ctr4),
+                jnp.asarray(offsets),
+                jnp.asarray(cell_s.astype(np.int32)), ws,
+                grid_g=g, radius=r, block_centers=8, tile=16,
+                interpret=True, halo=halo,
+            )
+            return jnp.sum(out * out)
+
+        ga, gb, gw = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(A[order]), jnp.asarray(B[order]),
+            (jnp.asarray(w1), jnp.asarray(b1)),
+        )
+        grads[halo] = (
+            np.asarray(ga)[inv], np.asarray(gb)[inv],
+            np.asarray(gw[0]), np.asarray(gw[1]),
+        )
+    for a, b in zip(grads[1], grads[2]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
