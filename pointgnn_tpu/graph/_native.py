@@ -31,6 +31,22 @@ _lib = None
 _tried = False
 
 
+def stale(target: str, source_dir: str) -> bool:
+    """True when ``target`` is missing or older than any ``.cpp``/``.h``
+    under ``source_dir`` — committed binaries must never drift from the
+    in-tree sources (the Makefile's dependency rules do the rebuild;
+    this decides when to invoke it)."""
+    if not os.path.isfile(target):
+        return True
+    t = os.path.getmtime(target)
+    for root, _dirs, files in os.walk(source_dir):
+        for name in files:
+            if name.endswith((".cpp", ".h", ".hpp")):
+                if os.path.getmtime(os.path.join(root, name)) > t:
+                    return True
+    return False
+
+
 def _configure(lib):
     i64 = ctypes.c_int64
     lib.pgnn_radius_neighbors.restype = ctypes.c_int
@@ -65,7 +81,9 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and os.path.isdir(_CPP_DIR):
+        if os.path.isdir(_CPP_DIR) and stale(
+            _LIB_PATH, os.path.join(_CPP_DIR, "graphlib")
+        ):
             try:
                 subprocess.run(
                     ["make", "-s"],

@@ -26,8 +26,13 @@ _LINE_RE = re.compile(
 
 
 def binary_path(build_if_missing: bool = True) -> str:
-    if not os.path.isfile(_BINARY) and build_if_missing:
-        subprocess.run(["make", "-C", _CPP_DIR], check=True)
+    if build_if_missing:
+        from pointgnn_tpu.graph._native import stale
+
+        if stale(_BINARY, os.path.join(_CPP_DIR, "kitti_eval")):
+            # missing OR older than the sources: the committed binary
+            # must track cpp/; the Makefile's rules do the actual work
+            subprocess.run(["make", "-C", _CPP_DIR], check=True)
     return _BINARY
 
 

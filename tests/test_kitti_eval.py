@@ -109,3 +109,30 @@ def test_van_detection_not_penalized(tmp_path):
         (res_dir / "data" / name).write_text("\n".join(dets) + "\n")
     results = kitti_eval.evaluate(str(gt_dir), str(res_dir))
     assert results["Car_3d_easy"]["ap"] > 90
+
+
+def test_stale_binary_detection(tmp_path):
+    """Committed binaries must be rebuilt when cpp/ sources are newer
+    (the staleness check both loaders use before trusting lib/)."""
+    import time
+
+    from pointgnn_tpu.graph._native import stale
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    target = tmp_path / "out.so"
+    # missing target -> stale
+    assert stale(str(target), str(src_dir))
+    target.write_bytes(b"x")
+    (src_dir / "a.cpp").write_text("// old")
+    old = time.time() - 100
+    os.utime(src_dir / "a.cpp", (old, old))
+    assert not stale(str(target), str(src_dir))
+    # touch the source newer than the target -> stale
+    new = os.path.getmtime(target) + 100
+    os.utime(src_dir / "a.cpp", (new, new))
+    assert stale(str(target), str(src_dir))
+    # non-source files never trigger rebuilds
+    os.utime(src_dir / "a.cpp", (old, old))
+    (src_dir / "notes.txt").write_text("irrelevant")
+    assert not stale(str(target), str(src_dir))
