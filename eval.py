@@ -51,6 +51,15 @@ def main():
         time.sleep(eval_config.get("eval_every_second", 60))
     config_complete = config_io.load_config(config_path)
     config = config_complete.get("eval", config_complete)
+    # the frozen train_config records HOW the checkpoint was trained;
+    # device_graph (uncapped slab neighborhoods) changes the edge
+    # capacity the evaluator needs (docs/PERF_NOTES.md 0.00-BEV trap)
+    train_config_path = os.path.join(train_dir, "train_config")
+    train_config = (
+        config_io.load_train_config(train_config_path)
+        if os.path.isfile(train_config_path)
+        else {}
+    )
 
     split_file = args.dataset_split_file or os.path.join(
         args.dataset_root_dir, "3DOP_splits", eval_config["eval_dataset"]
@@ -69,6 +78,7 @@ def main():
         eval_config,
         FetchSpec(spec, config, eval_config, is_eval=True),
         num_frames=num_frames,
+        train_config=train_config,
     )
     try:
         evaluator.eval_repeat(

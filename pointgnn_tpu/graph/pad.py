@@ -171,6 +171,48 @@ def suggest_capacity(
     return GraphCapacity(vertices=vertices, edges=edges)
 
 
+def grow_to_fit(
+    capacity: GraphCapacity,
+    frames: Sequence[FrameData],
+    headroom: float = 1.25,
+    multiple: int = 4096,
+) -> Tuple[GraphCapacity, bool]:
+    """Return ``(capacity, grew)`` where the capacity is enlarged (never
+    shrunk) so that the union of ``frames`` fits without truncation.
+
+    Enforces the CLAUDE.md invariant in code instead of contributor
+    memory: a checkpoint trained on uncapped neighborhoods (slab /
+    device_graph mode) silently mislocalizes when the host path's
+    padded graph drops edges (measured BEV AP 0.00 vs 100 —
+    docs/PERF_NOTES.md "train/test neighbor-cap mismatch").  Growth is
+    quantized to ``multiple`` with ``headroom`` so repeated calls over a
+    dataset trigger at most a handful of recompiles.
+    """
+    num_levels = capacity.num_levels
+
+    def bucket(n):
+        return int(np.ceil(n * headroom / multiple) * multiple)
+
+    need_v = [
+        sum(f.vertex_coord_list[li].shape[0] for f in frames)
+        for li in range(num_levels + 1)
+    ]
+    need_e = [
+        sum(f.edges_list[li].shape[0] for f in frames)
+        for li in range(num_levels)
+    ]
+    vertices = tuple(
+        max(c, bucket(n)) for c, n in zip(capacity.vertices, need_v)
+    )
+    edges = tuple(
+        max(c, bucket(n)) for c, n in zip(capacity.edges, need_e)
+    )
+    grew = vertices != capacity.vertices or edges != capacity.edges
+    if grew:
+        capacity = GraphCapacity(vertices=vertices, edges=edges)
+    return capacity, grew
+
+
 def batch_and_pad(
     frames: Sequence[FrameData],
     capacity: GraphCapacity,

@@ -107,6 +107,7 @@ class InferencePipeline:
         pallas_tail="auto",
         slab="auto",
         slab_tuning: Optional[Dict] = None,
+        auto_capacity: bool = True,
     ):
         import jax
 
@@ -228,6 +229,12 @@ class InferencePipeline:
                 "runtime_capacity"
             ]
         self.capacity = capacity
+        # grow the host-path capacity instead of truncating: edge
+        # truncation silently mislocalizes checkpoints trained on
+        # uncapped neighborhoods (slab / device_graph training) — the
+        # 0.00-BEV trap in docs/PERF_NOTES.md.  Each growth recompiles
+        # once (quantized buckets keep that to a handful per dataset).
+        self.auto_capacity = auto_capacity
 
         if params is None:
             if checkpoint_dir is not None:
@@ -396,6 +403,20 @@ class InferencePipeline:
                 points.attr, self.input_features
             )
             frame = pad.FrameData(features, vcl, kil, el)
+            if self.auto_capacity:
+                self.capacity, grew = pad.grow_to_fit(
+                    self.capacity, [frame]
+                )
+                if grew:
+                    import warnings
+
+                    warnings.warn(
+                        "graph exceeds the padded capacity; growing to "
+                        "%r (one-time recompile) instead of truncating"
+                        % (self.capacity,),
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             graph = pad.pad_frame(frame, self.capacity)
             t1 = time.time()
             self.time_dict["gen graph"] = (

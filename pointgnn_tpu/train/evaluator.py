@@ -34,12 +34,14 @@ class Evaluator:
         fetch_spec: FetchSpec,
         num_frames: int,
         capacity: Optional[pad.GraphCapacity] = None,
+        train_config: Optional[Dict] = None,
     ):
         import jax
 
         self.config = config
         self.eval_config = eval_config
         self.num_frames = num_frames
+        self.train_config = train_config or {}
         enc_len = encodings.get_encoding_len(config["box_encoding_method"])
         self.model = get_model(config["model_name"])(
             num_classes=config["num_classes"],
@@ -53,6 +55,19 @@ class Evaluator:
             capacity = cfg_mod.tpu_settings(config["label_method"])[
                 "frame_capacity"
             ]
+            if self.train_config.get("device_graph") or eval_config.get(
+                "device_graph"
+            ):
+                # the checkpoint under evaluation was trained on the
+                # UNCAPPED slab neighborhoods; the training-capacity
+                # edge bucket truncates dense clusters and mis-scores
+                # it (BEV 0.00 vs 100 — docs/PERF_NOTES.md).  Size the
+                # edge buckets for the uncapped density, like the
+                # acceptance smoke does.
+                capacity = pad.GraphCapacity(
+                    vertices=capacity.vertices,
+                    edges=tuple(4 * e for e in capacity.edges),
+                )
         self.capacity = capacity
         loss_fn = step_lib.make_loss_fn(
             self.model, loss_config(config), with_logits=True
@@ -95,27 +110,67 @@ class Evaluator:
 
         import collections
 
+        import concurrent.futures
+
         state, _ = ckpt_lib.restore_checkpoint(train_dir, step=step)
         params = state["params"] if "params" in state else state
         params = jax.device_put(params)
         self.metrics.reset()
         t0 = time.time()
-        # pipeline the per-frame aux fetch like trainer.train(): a
-        # device_get right after dispatch stalls ~50ms on the tunneled
-        # backend; draining a frame that finished several dispatches
-        # ago is a pure transfer (docs/PERF_NOTES.md)
-        pending = collections.deque()
-        for frame_idx in range(self.num_frames):
+
+        def put_frame(frame_idx):
+            """fetch -> pad (growing, never truncating) -> ONE H2D put.
+
+            Runs on the single background thread: device_put from the
+            dispatching thread serializes its ~33ms flat latency into
+            every frame on tunneled backends, and puts from more than
+            one thread degrade in-flight programs (docs/PERF_NOTES.md
+            transfer study) — same pattern as infer.stream().
+            """
             frame = self.provider.provide(frame_idx)
-            graph = pad.batch_and_pad([frame], self.capacity)
-            pending.append(self._eval_step(params, graph))
-            while len(pending) > 4:
-                self.metrics.update(jax.device_get(pending.popleft()))
+            # grow instead of truncate: dropped edges under-aggregate
+            # max features and silently mis-score checkpoints trained
+            # on uncapped neighborhoods (the 0.00-BEV trap)
+            self.capacity, grew = pad.grow_to_fit(self.capacity, [frame])
+            if grew:
+                print(
+                    "eval capacity grown to %r (one-time recompile)"
+                    % (self.capacity,)
+                )
+            return jax.device_put(
+                pad.batch_and_pad([frame], self.capacity)
+            )
+
+        # pipeline both the H2D puts (ahead) and the aux fetch (behind):
+        # a device_get right after dispatch stalls ~50ms on the tunneled
+        # backend; draining a frame that finished several dispatches ago
+        # is a pure transfer (docs/PERF_NOTES.md)
+        pending = collections.deque()
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            puts = collections.deque(
+                pool.submit(put_frame, i)
+                for i in range(min(2, self.num_frames))
+            )
+            next_idx = len(puts)
+            while puts:
+                graph = puts.popleft().result()
+                if next_idx < self.num_frames:
+                    puts.append(pool.submit(put_frame, next_idx))
+                    next_idx += 1
+                pending.append(self._eval_step(params, graph))
+                while len(pending) > 4:
+                    self.metrics.update(
+                        jax.device_get(pending.popleft())
+                    )
         while pending:
             self.metrics.update(jax.device_get(pending.popleft()))
-        results = self.metrics.print_epoch(
-            step, 0, 0.0, time.time() - t0
+        elapsed = time.time() - t0
+        self.frames_per_second = self.num_frames / max(elapsed, 1e-9)
+        print(
+            "eval throughput: %.1f frames/s (%d frames in %.1fs)"
+            % (self.frames_per_second, self.num_frames, elapsed)
         )
+        results = self.metrics.print_epoch(step, 0, 0.0, elapsed)
         for key, value in results.items():
             summary.write_summary_scale(key, value, step, eval_dir)
         self._evaluated_steps.add(step)

@@ -105,3 +105,59 @@ def test_eval_cli_subprocess(trained_dir, tmp_path):
     assert os.path.isfile(
         os.path.join(eval_cfg["eval_dir"], "scalars.jsonl")
     ), out.stdout[-1000:]
+
+
+def test_evaluator_sizes_for_device_graph_checkpoints(trained_dir):
+    """A device_graph (slab/uncapped-neighborhood) train_config must
+    auto-size the edge buckets for the uncapped density; evaluating at
+    the training capacity silently truncates edges and mis-scores the
+    checkpoint (docs/PERF_NOTES.md, measured BEV 0.00 vs 100)."""
+    root, train_dir, config, spec = trained_dir
+    eval_config = configs.eval_config("Car")
+    base = Evaluator(
+        config, eval_config,
+        FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2,
+    )
+    base.close()
+    slab_trained = Evaluator(
+        config, eval_config,
+        FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2, train_config={"device_graph": True},
+    )
+    slab_trained.close()
+    assert slab_trained.capacity.vertices == base.capacity.vertices
+    for grown, orig in zip(
+        slab_trained.capacity.edges, base.capacity.edges
+    ):
+        assert grown == 4 * orig
+
+
+def test_eval_once_grows_capacity_instead_of_truncating(
+    trained_dir, recwarn
+):
+    """Dense frames at default settings must never be silently
+    edge-truncated: eval_once grows the bucket (one recompile) and the
+    metrics see the full graph."""
+    import warnings
+
+    root, train_dir, config, spec = trained_dir
+    eval_config = configs.eval_config("Car")
+    tiny = GraphCapacity(vertices=(8192, 2048, 2048), edges=(512, 1024))
+    evaluator = Evaluator(
+        config, eval_config,
+        FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2, capacity=tiny,
+    )
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            results = evaluator.eval_once(
+                train_dir, os.path.join(root, "eval_grow"), step=1
+            )
+        assert np.isfinite(results["total_loss"])
+        # the bucket actually grew past the deliberately-tiny start
+        assert evaluator.capacity.edges[0] > tiny.edges[0]
+        assert evaluator.frames_per_second > 0
+    finally:
+        evaluator.close()

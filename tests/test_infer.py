@@ -255,3 +255,42 @@ def test_slab_l1_mode_wiring():
     pts = pts.__class__(xyz=pts.xyz[:1500], attr=pts.attr[:1500])
     cls, boxes, scores, _ = pipe.run_frame(pts)
     assert boxes.shape[1] == 7
+
+
+def test_host_path_auto_grows_capacity():
+    """The host path must never silently truncate: an undersized bucket
+    grows to fit the frame (recompile) and yields the same detections
+    as a correctly-sized bucket.  auto_capacity=False restores the old
+    truncating behavior (with its warning)."""
+    import warnings
+
+    cfg = configs.model_config("Car", T=1)
+    points, _ = synthetic_lidar_frame(seed=3)
+    pts = points.mask(np.arange(4000))
+
+    tiny = GraphCapacity(vertices=(512, 128, 128), edges=(1024, 2048))
+    auto = InferencePipeline(cfg, capacity=tiny, seed=0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cls_a, boxes_a, scores_a, _ = auto.run_frame(
+            pts, np.random.default_rng(0)
+        )
+    assert not any(
+        "overflow" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+    assert auto.capacity.edges[0] > tiny.edges[0]
+
+    big = InferencePipeline(cfg, capacity=auto.capacity, seed=0)
+    cls_b, boxes_b, scores_b, _ = big.run_frame(
+        pts, np.random.default_rng(0)
+    )
+    assert len(cls_a) == len(cls_b)
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(boxes_a, boxes_b, rtol=1e-5, atol=1e-5)
+
+    trunc = InferencePipeline(
+        cfg, capacity=tiny, seed=0, auto_capacity=False
+    )
+    with pytest.warns(RuntimeWarning, match="overflow"):
+        trunc.run_frame(pts, np.random.default_rng(0))
+    assert trunc.capacity == tiny
