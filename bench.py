@@ -187,7 +187,135 @@ def bench_train_step_device(cfg):
     frame = dpipe.DeviceFrame(packed, plabels)
     state, aux = step_fn(state, frame)  # compile
     float(np.asarray(aux["total_loss"]))  # real sync
-    return _timed_steps(step_fn, state, frame, n=20) * 1e3
+    step_s = _timed_steps(step_fn, state, frame, n=20)
+    # analytic MFU: XLA's cost_analysis can't see inside the Pallas
+    # custom calls, so count the model FLOPs from first principles
+    # (utils/flops.py) on this exact workload.  Train = 3x forward
+    # (fwd + dense bwd); the per-layer remat recompute and the bwd
+    # kernel's in-kernel forward recompute are EXCLUDED — this is the
+    # conservative "useful FLOPs" convention, so the quoted MFU is a
+    # floor on hardware utilization.
+    mfu = None
+    try:
+        acct = slab_accounting(cfg, dspec, pts)
+        mfu = (
+            100.0 * 3.0 * acct["useful_fwd_flops"] / step_s
+            / V5E_PEAK_BF16
+        )
+    except Exception:
+        pass
+    return step_s * 1e3, mfu
+
+
+def _chip_matmul_tflops():
+    """Reference-point matmul rate (bf16 [4096]^2, 10 reps).
+
+    The tunneled v5e's wall clock is bistable across processes (up to
+    4x — docs/PERF_NOTES.md "Measure in ONE process"); this probe
+    stamps every bench run with the chip state it ran in, so
+    round-over-round comparisons can spot a slow-lottery run.  Healthy
+    v5e measures >=100 TF/s here; <50 means the numbers in this run
+    are degraded by the environment, not the code."""
+    import jax
+    import jax.numpy as jnp
+
+    n, reps = 4096, 10
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(reps):
+            x = jnp.dot(x, x, preferred_element_type=jnp.bfloat16)
+            x = (x * 1e-9).astype(jnp.bfloat16)
+        return jnp.float32(x[0, 0])
+
+    float(np.asarray(chain(a)))  # compile + warm
+    t0 = time.perf_counter()
+    float(np.asarray(chain(a)))
+    dt = time.perf_counter() - t0
+    return 2.0 * n ** 3 * reps / dt / 1e12
+
+
+def slab_accounting(cfg, spec, points):
+    """Analytic FLOP accounting for one frame through the slab paths.
+
+    Builds the device graph ONCE (same code path as serving), fetches
+    the cell metadata, and computes: exact in-radius pair counts (the
+    uncapped graph the kernel reproduces), the kernel's actually-walked
+    pair counts (host replica of its tile walk), and the model-level
+    useful forward FLOPs.  See pointgnn_tpu/utils/flops.py."""
+    import jax
+
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import input_feature_dim, select_input_features
+    from pointgnn_tpu.utils import flops
+
+    spec = spec._replace(slab_level1=True, slab_level0=True)
+    feats = select_input_features(points.attr, cfg["input_features"])
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        packed = db.pack_points(points.xyz, feats, spec.num_points)
+    xyz, f, mask = db.unpack_points(packed)
+    graph = jax.device_get(
+        jax.jit(lambda x, f, m: db.build_padded_graph(x, f, m, spec))(
+            xyz, f, mask
+        )
+    )
+    p_xyz = np.asarray(graph.vertex_xyz[0])
+    p_mask = np.asarray(graph.vertex_mask[0]) > 0
+    k_xyz = np.asarray(graph.vertex_xyz[1])
+    k_mask = np.asarray(graph.vertex_mask[1]) > 0
+    pairs_l1 = flops.count_inradius_pairs(
+        k_xyz[k_mask], k_xyz[k_mask], spec.level1.radius
+    )
+    pairs_l0 = flops.count_inradius_pairs(
+        k_xyz[k_mask], p_xyz[p_mask], spec.level0.radius
+    )
+    useful = flops.pointgnn_forward_flops(
+        cfg, input_feature_dim(cfg["input_features"]),
+        int(p_mask.sum()), int(k_mask.sum()), pairs_l0, pairs_l1,
+    )
+    walks = {}
+    for name, level, offs, cells in [
+        ("l1", spec.level1, graph.slab_offsets, graph.slab_center_cell),
+        ("l0", spec.level0, graph.slab0_offsets, graph.slab0_center_cell),
+    ]:
+        w = flops.slab_walk_pairs(
+            np.asarray(offs), np.asarray(cells),
+            db.slab_grid_of(level)[1], bk=32, tile=32,
+            halo=level.slab_halo,
+        )
+        exact = pairs_l1 if name == "l1" else pairs_l0
+        walks[name] = {
+            "walked_pairs": w["walked_pairs"],
+            "exact_pairs": exact,
+            "overfetch_x": w["walked_pairs"] / max(exact, 1),
+        }
+    # kernel-executed FLOPs: walked pairs x per-pair remaining chain,
+    # x num layers at that level
+    layer_cfgs = cfg["model_kwargs"]["layer_configs"]
+    gnn_layers = sum(
+        1 for lc in layer_cfgs
+        if lc["type"] == "scatter_max_graph_auto_center_net"
+    )
+    l1_chain = flops.dense_chain_flops(
+        1, layer_cfgs[1]["kwargs"]["edge_MLP_depth_list"]
+    )
+    l0_chain = flops.dense_chain_flops(
+        1, layer_cfgs[0]["kwargs"]["point_MLP_depth_list"]
+    )
+    walked_flops = (
+        gnn_layers * walks["l1"]["walked_pairs"] * l1_chain
+        + walks["l0"]["walked_pairs"] * l0_chain
+    )
+    return {
+        "useful_fwd_flops": useful,
+        "walked_kernel_flops": walked_flops,
+        "l1_overfetch_x": walks["l1"]["overfetch_x"],
+        "l0_overfetch_x": walks["l0"]["overfetch_x"],
+    }
 
 
 def _bench_frame(seed):
@@ -302,6 +430,39 @@ def main():
         "single_frame_vs_baseline": round(BASELINE_MS / ms, 2),
         "provenance": provenance(pipe),
     }
+    try:
+        out["provenance"]["chip_matmul_tflops"] = round(
+            _chip_matmul_tflops(), 1
+        )
+    except Exception:
+        pass
+    if os.environ.get("POINTGNN_BENCH_MFU", "1") != "0":
+        try:
+            acct = slab_accounting(cfg, spec, frames[0])
+            # serving MFU: useful model FLOPs (exact uncapped graph,
+            # folded formulation — utils/flops.py) over the pipelined
+            # per-frame serving latency.  cost_analysis() cannot see
+            # Pallas custom-call FLOPs, hence the analytic count.
+            out["infer_useful_gflop_per_frame"] = round(
+                acct["useful_fwd_flops"] / 1e9, 1
+            )
+            out["infer_serving_mfu_pct"] = round(
+                100.0 * acct["useful_fwd_flops"] / (stream_ms / 1e3)
+                / V5E_PEAK_BF16, 2,
+            )
+            # what the slab kernels actually execute per frame, and the
+            # resulting effective rate — the overfetch_x gap between
+            # walked and useful FLOPs is the kernel-level headroom
+            out["slab_walked_gflop_per_frame"] = round(
+                acct["walked_kernel_flops"] / 1e9, 1
+            )
+            out["slab_kernel_effective_tflops"] = round(
+                acct["walked_kernel_flops"] / (stream_ms / 1e3) / 1e12, 1
+            )
+            out["slab_l1_overfetch_x"] = round(acct["l1_overfetch_x"], 2)
+            out["slab_l0_overfetch_x"] = round(acct["l0_overfetch_x"], 2)
+        except Exception as exc:
+            out["mfu_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_TRAIN", "1") != "0":
         try:
             train_ms, mfu = bench_train_step(cfg)
@@ -314,9 +475,10 @@ def main():
         try:
             # production TPU training path: device-graph + slab VJP
             # kernels, one frame per device
-            out["train_step_device_ms_per_frame"] = round(
-                bench_train_step_device(cfg), 2
-            )
+            dev_ms, dev_mfu = bench_train_step_device(cfg)
+            out["train_step_device_ms_per_frame"] = round(dev_ms, 2)
+            if dev_mfu is not None:
+                out["train_device_mfu_pct"] = round(dev_mfu, 2)
         except Exception as exc:
             out["train_device_step_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_PEDCYL", "1") != "0":

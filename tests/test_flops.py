@@ -1,0 +1,77 @@
+"""Analytic FLOP accounting (utils/flops.py): pair counting, the
+slab-walk replica, and the model-level forward count."""
+
+import numpy as np
+
+from pointgnn_tpu import configs
+from pointgnn_tpu.utils import flops
+
+
+def test_dense_chain_flops():
+    assert flops.dense_chain_flops(10, [4, 8]) == 2 * 10 * 32
+    assert flops.dense_chain_flops(1, [300, 300]) == 180000
+
+
+def test_count_inradius_pairs_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    c = rng.uniform(0, 10, (200, 3)).astype(np.float32)
+    s = rng.uniform(0, 10, (300, 3)).astype(np.float32)
+    r = 1.5
+    d2 = ((c[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+    expected = int((d2 <= r * r).sum())
+    got = flops.count_inradius_pairs(c, s, r, chunk=64)
+    assert got == expected
+
+
+def test_slab_walk_covers_every_exact_pair():
+    """The walk replica mirrors the kernel's window; every in-radius
+    pair must fall inside the walked row spans (the kernel's
+    correctness precondition), and walked >= span >= 0."""
+    rng = np.random.default_rng(1)
+    g, cell, r = 16, 2.0, 2.0
+    xyz = rng.uniform(0, g * cell, (512, 3)).astype(np.float32)
+    xyz[:, 1] = 0.0
+    cx = np.clip((xyz[:, 0] // cell).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // cell).astype(int), 0, g - 1)
+    cells = cx * g + cz
+    order = np.argsort(cells, kind="stable")
+    xyz, cells = xyz[order], cells[order]
+    offsets = np.searchsorted(cells, np.arange(g * g + 1))
+    bk, tile = 8, 8
+    w = flops.slab_walk_pairs(offsets, cells, g, bk, tile, halo=1)
+    assert w["walked_pairs"] >= w["span_pairs"] > 0
+    exact = flops.count_inradius_pairs(xyz, xyz, r)
+    # span covers the 3x3 window around each block, a superset of
+    # every center's radius ball -> span_pairs >= exact pairs
+    assert w["span_pairs"] >= exact
+    # replica-level coverage check: each pair's candidate row lies in
+    # its center block's walked span for the candidate's x-column
+    ncells = g * g
+    for b0 in range(0, len(cells), bk):
+        blk = cells[b0:b0 + bk]
+        for ci in range(b0, min(b0 + bk, len(cells))):
+            d2 = ((xyz - xyz[ci]) ** 2).sum(-1)
+            for si in np.flatnonzero(d2 <= r * r):
+                xc = cells[si] // g
+                use = np.abs(blk // g - xc) <= 1
+                assert use.any()
+                zlo = max(int((blk[use] % g).min()) - 1, 0)
+                zhi = min(int((blk[use] % g).max()) + 1, g - 1)
+                lo = offsets[xc * g + zlo]
+                hi = offsets[xc * g + zhi + 1]
+                assert lo <= si < hi
+        break  # one block is enough for the invariant check
+
+
+def test_forward_flops_scales_with_pairs():
+    cfg = configs.model_config("Car", T=3)
+    base = flops.pointgnn_forward_flops(cfg, 1, 24000, 12000, 4e5, 1e6)
+    more = flops.pointgnn_forward_flops(cfg, 1, 24000, 12000, 4e5, 2e6)
+    assert more > base > 0
+    # 3 GNN layers x 1e6 extra pairs x 2*300*300 per pair
+    assert np.isclose(more - base, 3 * 1e6 * 180000)
+    # T=2 model has one fewer GNN layer -> strictly less
+    cfg2 = configs.model_config("Car", T=2)
+    assert flops.pointgnn_forward_flops(
+        cfg2, 1, 24000, 12000, 4e5, 1e6
+    ) < base
