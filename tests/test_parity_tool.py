@@ -1,0 +1,133 @@
+"""End-to-end test of the reference-parity runner on a synthetic
+TF-layout checkpoint dump.
+
+The .npz fixture is constructed with HAND-WRITTEN slim variable names
+(the reference's tf.variable_scope nesting, models/gnn.py:34-163) — not
+via train/convert.py's own name map — so the converter is exercised
+against an independently-built checkpoint, not a self-round-trip."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pointgnn_tpu import configs
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fixture_npz(path, rng):
+    """car T=1 checkpoint in the reference's exact variable layout."""
+    shapes = {
+        # layer1: PointSetPooling — point MLP (in 1 feature + 3 rel
+        # coords) under extract_vertex_features, output MLP under
+        # combined_features (gnn.py:258, 268)
+        "layer1/extract_vertex_features/fully_connected": (4, 32),
+        "layer1/extract_vertex_features/fully_connected_1": (32, 64),
+        "layer1/extract_vertex_features/fully_connected_2": (64, 128),
+        "layer1/extract_vertex_features/fully_connected_3": (128, 300),
+        "layer1/combined_features/fully_connected": (300, 300),
+        "layer1/combined_features/fully_connected_1": (300, 300),
+        # layer2: GraphNetAutoCenter — auto-offset MLP at layer scope
+        # (gnn.py:341-346), edge MLP under extract_vertex_features
+        # (input 300 features + 3 rel coords), update MLP under
+        # combined_features
+        "layer2/fully_connected": (300, 64),
+        "layer2/fully_connected_1": (64, 3),
+        "layer2/extract_vertex_features/fully_connected": (303, 300),
+        "layer2/extract_vertex_features/fully_connected_1": (300, 300),
+        "layer2/combined_features/fully_connected": (300, 300),
+        "layer2/combined_features/fully_connected_1": (300, 300),
+        # output: ClassAwarePredictor — shared cls head + 4 per-class
+        # loc heads (gnn.py:146-163), 7-dof box encoding
+        "output/predictor/cls/fully_connected": (300, 64),
+        "output/predictor/cls/fully_connected_1": (64, 4),
+    }
+    for ci in range(4):
+        p = "output/predictor/loc/cls_%d" % ci
+        shapes[p + "/fully_connected"] = (300, 64)
+        shapes[p + "/fully_connected_1"] = (64, 64)
+        shapes[p + "/fully_connected_2"] = (64, 7)
+    arrays = {}
+    for prefix, (fan_in, fan_out) in shapes.items():
+        arrays[prefix + "/weights"] = (
+            rng.normal(0, 0.05, (fan_in, fan_out)).astype(np.float32)
+        )
+        arrays[prefix + "/biases"] = np.zeros(fan_out, np.float32)
+    # decoys a real TF checkpoint carries — the converter must skip them
+    arrays["global_step"] = np.int64(1400000)
+    arrays["layer1/combined_features/fully_connected/weights/Momentum"] = (
+        rng.normal(0, 1, (300, 300)).astype(np.float32)
+    )
+    np.savez(path, **arrays)
+    return shapes
+
+
+def test_parity_runner_end_to_end(tmp_path):
+    rng = np.random.default_rng(7)
+    npz = str(tmp_path / "car_T1.npz")
+    _fixture_npz(npz, rng)
+
+    kitti_root = str(tmp_path / "kitti")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools/make_synthetic_kitti.py"),
+         kitti_root, "2"],
+        check=True,
+    )
+    cfg_path = str(tmp_path / "ref_config")
+    with open(cfg_path, "w") as f:
+        json.dump(configs.model_config("Car", T=1), f)
+
+    work = str(tmp_path / "parity")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "tools/validate_reference_parity.py"),
+            npz, cfg_path,
+            "--dataset_root_dir", kitti_root,
+            "--dataset_split_file",
+            os.path.join(kitti_root, "3DOP_splits/val.txt"),
+            "--workdir", work,
+            "--capacity", "8192,2048,2048:32768,65536",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    # 26 hand-written (w, b) pairs -> 52 arrays; the decoys are skipped
+    assert "converted 52 arrays" in out.stdout, out.stdout
+    report = json.load(open(os.path.join(work, "parity_report.json")))
+    assert report["baseline"]["Car_3d"][1] == 79.47
+    assert os.path.isfile(os.path.join(work, "results/data/000000.txt"))
+    # the converted checkpoint is a regular orbax dir: run.py's
+    # contract (config + weights) holds
+    assert os.path.isfile(os.path.join(work, "train_dir/config"))
+
+
+def test_converter_rejects_incomplete_dumps(tmp_path):
+    """A dump missing variables must fail loudly, naming them."""
+    from pointgnn_tpu.train.convert import convert_reference_weights
+
+    rng = np.random.default_rng(0)
+    npz = str(tmp_path / "partial.npz")
+    shapes = _fixture_npz(npz, rng)
+    tf_vars = dict(np.load(npz))
+    del tf_vars["layer2/extract_vertex_features/fully_connected/weights"]
+    cfg = configs.model_config("Car", T=1)
+    with pytest.raises(KeyError, match="extract_vertex_features"):
+        convert_reference_weights(
+            tf_vars, cfg["model_kwargs"]["layer_configs"],
+            cfg["num_classes"],
+        )
+    # sanity: the full fixture covers every name the converter uses
+    from pointgnn_tpu.train.convert import used_variable_names
+
+    used = set(used_variable_names(
+        cfg["model_kwargs"]["layer_configs"], cfg["num_classes"]
+    ))
+    have = set(np.load(npz).keys())
+    assert used <= have, sorted(used - have)[:5]
