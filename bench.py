@@ -431,9 +431,25 @@ def main():
         "provenance": provenance(pipe),
     }
     try:
-        out["provenance"]["chip_matmul_tflops"] = round(
-            _chip_matmul_tflops(), 1
+        probe = _chip_matmul_tflops()
+        out["provenance"]["chip_matmul_tflops"] = round(probe, 1)
+        # the tunneled chip is bistable across processes (PERF_NOTES
+        # "Measure in ONE process"); stamp degraded runs so
+        # round-over-round comparisons don't mistake the slow lottery
+        # for a code regression
+        out["provenance"]["chip_state"] = (
+            "ok" if probe >= 50.0 else "degraded"
         )
+        if probe < 50.0:
+            import sys
+
+            print(
+                "WARNING: chip matmul probe %.1f TF/s < 50 — this "
+                "process drew the slow chip state; latency numbers in "
+                "this run are not comparable to healthy-state rounds"
+                % probe,
+                file=sys.stderr,
+            )
     except Exception:
         pass
     if os.environ.get("POINTGNN_BENCH_MFU", "1") != "0":
