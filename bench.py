@@ -68,7 +68,12 @@ def bench_train_step(cfg):
     rng = np.random.RandomState(0)
     frames = []
     for i in range(tpu["frames_per_device"]):
-        points, _ = synthetic_lidar_frame(seed=i)
+        # SAME workload as the device-path train bench (realistic
+        # KITTI frustum density) so the two train numbers compare
+        # like-for-like; the old full-density synthetic frame
+        # saturated every bucket here while the device path silently
+        # truncated it to a 47-keypoint near-field sliver
+        points = _bench_frame(i)
         vcl, kil, el = builder.gen_multi_level_local_graph_v3(
             points.xyz, **cfg["graph_gen_kwargs"],
             rng=np.random.default_rng(i),
@@ -178,10 +183,15 @@ def bench_train_step_device(cfg):
 
     from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
 
-    pts, labels = synthetic_lidar_frame(seed=0)
+    # realistic KITTI frustum density, same as the inference bench and
+    # the edge-list train bench.  The old full-density frame (89K pts)
+    # silently truncated to its FIRST 32K points — a 4x6m near-field
+    # sliver with ~47 valid keypoints — so earlier device-train numbers
+    # measured a near-empty graph.
+    pts, labels = synthetic_lidar_frame(seed=0, points_per_beam=380)
     feats = select_input_features(pts.attr, cfg["input_features"])
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # synthetic frame > capacity
+        warnings.simplefilter("ignore")
         packed = db.pack_points(pts.xyz, feats, dspec.num_points)
     plabels = dpipe.dl.pack_frame_labels(labels, label_map, num_classes)
     frame = dpipe.DeviceFrame(packed, plabels)
