@@ -976,8 +976,8 @@ def slab_edge_max_train(
     weights: Tuple,
     grid_g: int,
     radius: float,
-    block_centers: int = 8,
-    tile: int = 128,
+    block_centers: int = 32,
+    tile: int = 32,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     halo: int = 1,
@@ -987,9 +987,12 @@ def slab_edge_max_train(
     Same forward semantics (exact uncapped radius graph, fused edge MLP
     + per-center max); gradients flow to ``table_a``/``table_b``/
     ``weights`` via the recompute-in-backward kernel above.  Coordinates
-    and cell metadata get zero cotangent (graph structure).  Uses a
-    smaller default center block (8) than inference: the backward keeps
-    per-layer activations for a whole (bk*tile)-row tile in VMEM.
+    and cell metadata get zero cotangent (graph structure).  Defaults
+    (bk=32, tile=32) match the inference sweep optimum — a same-process
+    train-step sweep at realistic car_T3 density measured 113.6 (old
+    8/128) -> 79.2 ms/step with bitwise-identical losses; the backward
+    keeps per-layer activations for one (bk*tile)-row tile in VMEM,
+    which is the same 1024 rows either way.
     """
     return _slab_train_p(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
