@@ -93,7 +93,20 @@ def get_lib():
                     timeout=120,
                 )
             except Exception:
-                return None
+                # rebuild unavailable (no toolchain) or failed: fall
+                # through and load the committed .so if one exists —
+                # a possibly-stale fast path beats silently degrading
+                # to the numpy fallback for the whole process
+                if os.path.exists(_LIB_PATH):
+                    import warnings
+
+                    warnings.warn(
+                        "cpp/graphlib sources are newer than the "
+                        "committed libpointgnn_native.so and the "
+                        "rebuild failed; loading the existing binary "
+                        "(run `make -C cpp` to refresh it)",
+                        RuntimeWarning,
+                    )
         if os.path.exists(_LIB_PATH):
             try:
                 _lib = _configure(ctypes.CDLL(_LIB_PATH))

@@ -147,6 +147,13 @@ def pad_frame(
     return batch_and_pad([frame], capacity, rng)
 
 
+def _bucket(n: int, headroom: float, multiple: int) -> int:
+    """Quantized size: ``n`` x headroom rounded up to ``multiple`` —
+    the one definition of the capacity rounding policy, shared by
+    :func:`suggest_capacity` and :func:`grow_to_fit`."""
+    return int(np.ceil(n * headroom / multiple) * multiple)
+
+
 def suggest_capacity(
     frames: Sequence[FrameData],
     headroom: float = 1.25,
@@ -156,16 +163,18 @@ def suggest_capacity(
     headroom, rounded up to ``multiple`` (avoids silent truncation when
     the workload's density is unknown a priori)."""
     num_levels = len(frames[0].edges_list)
-
-    def bucket(n):
-        return int(np.ceil(n * headroom / multiple) * multiple)
-
     vertices = tuple(
-        bucket(max(f.vertex_coord_list[li].shape[0] for f in frames))
+        _bucket(
+            max(f.vertex_coord_list[li].shape[0] for f in frames),
+            headroom, multiple,
+        )
         for li in range(num_levels + 1)
     )
     edges = tuple(
-        bucket(max(f.edges_list[li].shape[0] for f in frames))
+        _bucket(
+            max(f.edges_list[li].shape[0] for f in frames),
+            headroom, multiple,
+        )
         for li in range(num_levels)
     )
     return GraphCapacity(vertices=vertices, edges=edges)
@@ -189,10 +198,8 @@ def grow_to_fit(
     dataset trigger at most a handful of recompiles.
     """
     num_levels = capacity.num_levels
-
-    def bucket(n):
-        return int(np.ceil(n * headroom / multiple) * multiple)
-
+    # SUM (not max) over frames: batch_and_pad unions the frames into
+    # one disjoint graph, so the bucket must hold all of them at once
     need_v = [
         sum(f.vertex_coord_list[li].shape[0] for f in frames)
         for li in range(num_levels + 1)
@@ -202,10 +209,12 @@ def grow_to_fit(
         for li in range(num_levels)
     ]
     vertices = tuple(
-        max(c, bucket(n)) for c, n in zip(capacity.vertices, need_v)
+        max(c, _bucket(n, headroom, multiple))
+        for c, n in zip(capacity.vertices, need_v)
     )
     edges = tuple(
-        max(c, bucket(n)) for c, n in zip(capacity.edges, need_e)
+        max(c, _bucket(n, headroom, multiple))
+        for c, n in zip(capacity.edges, need_e)
     )
     grew = vertices != capacity.vertices or edges != capacity.edges
     if grew:

@@ -32,7 +32,23 @@ def binary_path(build_if_missing: bool = True) -> str:
         if stale(_BINARY, os.path.join(_CPP_DIR, "kitti_eval")):
             # missing OR older than the sources: the committed binary
             # must track cpp/; the Makefile's rules do the actual work
-            subprocess.run(["make", "-C", _CPP_DIR], check=True)
+            try:
+                subprocess.run(["make", "-C", _CPP_DIR], check=True)
+            except Exception:
+                if not os.path.isfile(_BINARY):
+                    raise  # nothing to fall back to
+                # toolchain unavailable: the committed binary still
+                # runs — warn about possible staleness instead of
+                # turning a working evaluation into a crash
+                import warnings
+
+                warnings.warn(
+                    "cpp/kitti_eval sources are newer than the "
+                    "committed evaluate_object_offline and the rebuild "
+                    "failed; using the existing binary (run "
+                    "`make -C cpp` to refresh it)",
+                    RuntimeWarning,
+                )
     return _BINARY
 
 

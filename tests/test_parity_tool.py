@@ -108,6 +108,50 @@ def test_parity_runner_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(work, "train_dir/config"))
 
 
+def test_gate_fails_on_vacuous_runs():
+    """A requested AP gate over ZERO produced metrics must fail — the
+    evaluator emits no rows for classes without ground truths, so a
+    mis-pointed dataset would otherwise certify parity (exit 0)."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from validate_reference_parity import score_against_baseline
+
+    rows, failed, messages = score_against_baseline({}, 78.9)
+    assert failed and not rows and "no moderate-3D" in messages[0]
+    # report-only mode stays permissive on empty results
+    _, failed, _ = score_against_baseline({}, -1.0)
+    assert not failed
+    # gate passes / fails on real rows
+    ok = {"Car_3d_moderate": {"ap": 80.0, "ap_r40": 80.0}}
+    _, failed, _ = score_against_baseline(ok, 78.9)
+    assert not failed
+    _, failed, msgs = score_against_baseline(ok, 85.0)
+    assert failed and "Car_3d_moderate" in msgs[0]
+
+
+def test_evaluator_binary_survives_failed_rebuild(monkeypatch):
+    """When the C++ sources look newer but the rebuild fails (no
+    toolchain), a present committed binary must still be used (warn),
+    not crash the whole evaluation."""
+    import warnings
+
+    from pointgnn_tpu.postprocess import kitti_eval
+
+    monkeypatch.setattr(
+        "pointgnn_tpu.graph._native.stale", lambda *a: True
+    )
+
+    def broken_make(*a, **k):
+        raise FileNotFoundError("make: not found")
+
+    monkeypatch.setattr(kitti_eval.subprocess, "run", broken_make)
+    assert os.path.isfile(kitti_eval._BINARY)  # committed binary
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        path = kitti_eval.binary_path()
+    assert path == kitti_eval._BINARY
+    assert any("rebuild failed" in str(w.message) for w in caught)
+
+
 def test_converter_rejects_incomplete_dumps(tmp_path):
     """A dump missing variables must fail loudly, naming them."""
     from pointgnn_tpu.train.convert import convert_reference_weights

@@ -51,6 +51,46 @@ BASELINE_AP = {
 _DIFFICULTIES = ("easy", "moderate", "hard")
 
 
+def score_against_baseline(results, min_moderate_3d=-1.0):
+    """Diff evaluator output against BASELINE_AP.
+
+    Returns ``(rows, failed, messages)`` where rows are
+    ``(key, got, baseline, delta)``.  A requested gate over ZERO
+    produced metrics fails: the evaluator emits no rows for classes
+    with no ground truths, and a vacuous run must not certify parity.
+    """
+    rows, messages = [], []
+    failed = False
+    gated_seen = 0
+    for key, base in sorted(BASELINE_AP.items()):
+        cls, metric = key.split("_")
+        for di, diff_name in enumerate(_DIFFICULTIES):
+            rkey = "%s_%s_%s" % (cls, metric, diff_name)
+            if rkey not in results:
+                continue
+            got = results[rkey]["ap"]
+            rows.append((rkey, got, base[di], got - base[di]))
+            if (
+                min_moderate_3d >= 0
+                and metric == "3d"
+                and diff_name == "moderate"
+            ):
+                gated_seen += 1
+                if got < min_moderate_3d:
+                    failed = True
+                    messages.append(
+                        "FAIL: %s %.2f below --min_moderate_3d %.2f"
+                        % (rkey, got, min_moderate_3d)
+                    )
+    if min_moderate_3d >= 0 and gated_seen == 0:
+        failed = True
+        messages.append(
+            "FAIL: --min_moderate_3d given but no moderate-3D AP rows "
+            "were produced (no matching ground truths?)"
+        )
+    return rows, failed, messages
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="reference-checkpoint AP parity runner"
@@ -148,23 +188,9 @@ def main():
     results = kitti_eval.evaluate(gt_dir, result_dir)
     print("[3/3] official AP vs BASELINE.md (KITTI test-server paper "
           "numbers; val runs usually score a few points higher):")
-    failed = False
-    rows = []
-    for key, base in sorted(BASELINE_AP.items()):
-        cls, metric = key.split("_")
-        for di, diff_name in enumerate(_DIFFICULTIES):
-            rkey = "%s_%s_%s" % (cls, metric, diff_name)
-            if rkey not in results:
-                continue
-            got = results[rkey]["ap"]
-            rows.append((rkey, got, base[di], got - base[di]))
-            if (
-                args.min_moderate_3d >= 0
-                and metric == "3d"
-                and diff_name == "moderate"
-                and got < args.min_moderate_3d
-            ):
-                failed = True
+    rows, failed, messages = score_against_baseline(
+        results, args.min_moderate_3d
+    )
     if not rows:
         print("no baseline-matched classes found in the results; raw:")
         for k in sorted(results):
@@ -184,9 +210,9 @@ def main():
             f, indent=2,
         )
     print("report: %s/parity_report.json" % work)
+    for msg in messages:
+        print(msg)
     if failed:
-        print("FAIL: moderate 3D AP below --min_moderate_3d %.2f"
-              % args.min_moderate_3d)
         sys.exit(1)
 
 
