@@ -43,23 +43,78 @@ class Evaluator:
         self.num_frames = num_frames
         self.train_config = train_config or {}
         enc_len = encodings.get_encoding_len(config["box_encoding_method"])
+        # Device-graph evaluation (the production TPU path): graph
+        # construction + label assignment + box encoding run inside the
+        # jitted eval step over the EXACT uncapped slab neighborhoods —
+        # the same graphs a device_graph checkpoint trained on, so no
+        # capacity sizing question exists at all.  "auto" follows the
+        # checkpoint's frozen train_config.
+        dg = eval_config.get("device_graph", "auto")
+        if dg == "auto":
+            dg = bool(self.train_config.get("device_graph", False))
+        self.device_graph = bool(dg)
+        self.device_spec = None
+        self._graph_builder = None
+        model_extra = {}
+        if self.device_graph:
+            from pointgnn_tpu import configs as cfg_mod
+            from pointgnn_tpu.graph import device_builder as db
+            from pointgnn_tpu.train import device_pipeline as dpipe
+
+            tpu = cfg_mod.tpu_settings(config["label_method"])
+            dspec = (
+                eval_config.get("device_graph_spec")
+                or self.train_config.get("device_graph_spec")
+                or dpipe.device_spec_for_training(config, tpu)
+            )
+            slab = eval_config.get(
+                "device_graph_slab",
+                self.train_config.get("device_graph_slab", "auto"),
+            )
+            if slab == "auto":
+                slab = jax.default_backend() == "tpu"
+            if slab:
+                dspec = dspec._replace(
+                    slab_level1=True, slab_level0=True
+                )
+                model_extra["slab_level1"] = {
+                    "grid_g": db.slab_grid_of(dspec.level1)[1],
+                    "radius": dspec.level1.radius,
+                    "halo": dspec.level1.slab_halo,
+                }
+                model_extra["slab_level0"] = {
+                    "grid_g": db.slab_grid_of(dspec.level0)[1],
+                    "radius": dspec.level0.radius,
+                    "halo": dspec.level0.slab_halo,
+                }
+            model_extra.update(edge_sentinel="src", edges_sorted=False)
+            self.device_spec = dspec
+            fetch_spec = fetch_spec._replace(device_spec=dspec)
         self.model = get_model(config["model_name"])(
             num_classes=config["num_classes"],
             box_encoding_len=enc_len,
             mode="eval",
+            **model_extra,
             **config["model_kwargs"],
         )
+        if self.device_graph:
+            from pointgnn_tpu.train import device_pipeline as dpipe
+
+            self._graph_builder = dpipe.make_graph_builder(
+                self.device_spec, self.model.output_graph_level, config
+            )
         if capacity is None:
             from pointgnn_tpu import configs as cfg_mod
 
             capacity = cfg_mod.tpu_settings(config["label_method"])[
                 "frame_capacity"
             ]
-            if self.train_config.get("device_graph") or eval_config.get(
-                "device_graph"
+            if not self.device_graph and (
+                self.train_config.get("device_graph")
+                or eval_config.get("host_eval_of_device_checkpoint")
             ):
-                # the checkpoint under evaluation was trained on the
-                # UNCAPPED slab neighborhoods; the training-capacity
+                # host-path fallback for a checkpoint trained on the
+                # UNCAPPED slab neighborhoods: the training-capacity
                 # edge bucket truncates dense clusters and mis-scores
                 # it (BEV 0.00 vs 100 — docs/PERF_NOTES.md).  Size the
                 # edge buckets for the uncapped density, like the
@@ -73,7 +128,7 @@ class Evaluator:
             self.model, loss_config(config), with_logits=True
         )
 
-        def eval_step(params, graph):
+        def metric_aux(params, graph):
             _, aux = loss_fn(params, graph)
             logits = aux.pop("logits")
             aux.update(
@@ -86,6 +141,13 @@ class Evaluator:
             )
             return aux
 
+        if self.device_graph:
+            def eval_step(params, frame):
+                # deterministic graph (no rnd key): the reference's
+                # eval fetch does not randomize either (eval.py:68-117)
+                return metric_aux(params, self._graph_builder(frame))
+        else:
+            eval_step = metric_aux
         self._eval_step = jax.jit(eval_step)
         self._template = self.model.init(
             jax.random.PRNGKey(0),
@@ -128,6 +190,11 @@ class Evaluator:
             transfer study) — same pattern as infer.stream().
             """
             frame = self.provider.provide(frame_idx)
+            if self.device_graph:
+                # DeviceFrame: raw packed points + GT boxes (~0.2MB);
+                # the graph is built inside the jitted eval step on the
+                # exact uncapped neighborhoods — no capacity to manage
+                return jax.device_put(frame)
             # grow instead of truncate: dropped edges under-aggregate
             # max features and silently mis-score checkpoints trained
             # on uncapped neighborhoods (the 0.00-BEV trap)

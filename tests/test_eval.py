@@ -107,11 +107,13 @@ def test_eval_cli_subprocess(trained_dir, tmp_path):
     ), out.stdout[-1000:]
 
 
-def test_evaluator_sizes_for_device_graph_checkpoints(trained_dir):
-    """A device_graph (slab/uncapped-neighborhood) train_config must
-    auto-size the edge buckets for the uncapped density; evaluating at
-    the training capacity silently truncates edges and mis-scores the
-    checkpoint (docs/PERF_NOTES.md, measured BEV 0.00 vs 100)."""
+def test_evaluator_follows_device_graph_checkpoints(trained_dir):
+    """A device_graph train_config auto-enables device-graph evaluation
+    (graph built inside the jitted step on the checkpoint's own
+    neighborhoods); forcing the HOST path instead must auto-size the
+    edge buckets for the uncapped density — evaluating at the training
+    capacity silently truncates edges and mis-scores the checkpoint
+    (docs/PERF_NOTES.md, measured BEV 0.00 vs 100)."""
     root, train_dir, config, spec = trained_dir
     eval_config = configs.eval_config("Car")
     base = Evaluator(
@@ -120,17 +122,58 @@ def test_evaluator_sizes_for_device_graph_checkpoints(trained_dir):
         num_frames=2,
     )
     base.close()
-    slab_trained = Evaluator(
+    assert not base.device_graph
+
+    auto = Evaluator(
         config, eval_config,
         FetchSpec(spec, config, eval_config, is_eval=True),
         num_frames=2, train_config={"device_graph": True},
     )
-    slab_trained.close()
-    assert slab_trained.capacity.vertices == base.capacity.vertices
+    auto.close()
+    assert auto.device_graph and auto.device_spec is not None
+
+    host_forced = Evaluator(
+        config, dict(eval_config, device_graph=False),
+        FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2, train_config={"device_graph": True},
+    )
+    host_forced.close()
+    assert not host_forced.device_graph
+    assert host_forced.capacity.vertices == base.capacity.vertices
     for grown, orig in zip(
-        slab_trained.capacity.edges, base.capacity.edges
+        host_forced.capacity.edges, base.capacity.edges
     ):
         assert grown == 4 * orig
+
+
+def test_eval_once_device_graph_mode(trained_dir):
+    """Device-graph eval: the provider yields packed DeviceFrames and
+    the jitted eval step builds the graph + labels + encoding itself;
+    metrics must come out finite over a real checkpoint."""
+    from pointgnn_tpu.graph import device_builder as db
+
+    root, train_dir, config, spec = trained_dir
+    dspec = db.spec_from_config(
+        config, num_points=16384, num_keypoints=4096, runtime=False
+    )
+    eval_config = dict(
+        configs.eval_config("Car"),
+        device_graph=True, device_graph_spec=dspec,
+    )
+    evaluator = Evaluator(
+        config, eval_config,
+        FetchSpec(spec, config, eval_config, is_eval=True),
+        num_frames=2,
+    )
+    try:
+        results = evaluator.eval_once(
+            train_dir, os.path.join(root, "eval_device"), step=1
+        )
+        assert np.isfinite(results["total_loss"])
+        assert "mAP_1" in results
+        assert evaluator.frames_per_second > 0
+    finally:
+        evaluator.close()
 
 
 def test_eval_once_grows_capacity_instead_of_truncating(
