@@ -357,8 +357,47 @@ def provenance(pipe):
     }
 
 
+def _redraw_if_degraded():
+    """The tunneled chip's wall clock is bistable ACROSS PROCESSES (up
+    to 4x — docs/PERF_NOTES.md "Measure in ONE process"); a run that
+    draws the slow state reports latencies that say nothing about the
+    code.  Probe up front and, if degraded, re-exec this script (a
+    fresh process redraws the state) a bounded number of times.  The
+    probe history rides along in an env var and lands in provenance, so
+    a run that stayed degraded is still visibly stamped."""
+    import sys
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return []
+    history = json.loads(os.environ.get("POINTGNN_BENCH_PROBES", "[]"))
+    max_attempts = int(os.environ.get("POINTGNN_BENCH_MAX_ATTEMPTS", "3"))
+    try:
+        probe = _chip_matmul_tflops()
+    except Exception:
+        return history
+    history = history + [round(probe, 1)]
+    if probe < 50.0 and len(history) < max_attempts:
+        print(
+            "bench: chip probe %.1f TF/s < 50 (attempt %d/%d) — "
+            "re-executing to redraw the bistable chip state"
+            % (probe, len(history), max_attempts),
+            file=sys.stderr,
+        )
+        env = dict(os.environ, POINTGNN_BENCH_PROBES=json.dumps(history))
+        time.sleep(45.0)
+        os.execve(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)],
+            env,
+        )
+    return history
+
+
 def main():
     profile_dir = os.environ.get("POINTGNN_PROFILE_DIR", "")
+    probe_history = _redraw_if_degraded()
     from pointgnn_tpu import configs
     from pointgnn_tpu.infer import InferencePipeline
 
@@ -443,6 +482,10 @@ def main():
     try:
         probe = _chip_matmul_tflops()
         out["provenance"]["chip_matmul_tflops"] = round(probe, 1)
+        if probe_history:
+            # probes from _redraw_if_degraded: one entry per process
+            # attempt (the last is this process's pre-measurement draw)
+            out["provenance"]["chip_probe_attempts"] = probe_history
         # the tunneled chip is bistable across processes (PERF_NOTES
         # "Measure in ONE process"); stamp degraded runs so
         # round-over-round comparisons don't mistake the slow lottery
