@@ -267,3 +267,27 @@ def test_interactive_viewers_headless_fallback(tmp_path):
 
     for p in (p1, p2, p3, p4):
         assert p is not None and os.path.isfile(p), p
+
+
+def test_profile_inference_stage_breakdown():
+    """tools/profile_inference.profile returns the full stage dict on a
+    tiny spec (CPU path: the XLA device-graph builder, no slab)."""
+    sys.path.insert(0, TOOLS)
+    import profile_inference
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=512, num_keypoints=128,
+        cell_caps=(8, 16), per_center_caps=(8, 16),
+    )
+    out = profile_inference.profile(cfg, spec, reps=2, probe=False)
+    for key in ("put_ms", "total_ms", "graph_ms", "gnn_ms", "tail_ms",
+                "cold_frame_ms"):
+        assert key in out, key
+    assert out["total_ms"] > 0 and out["gnn_ms"] > 0
+    assert out["cold_frame_ms"] == pytest.approx(
+        out["put_ms"] + out["total_ms"], abs=0.02
+    )

@@ -1,137 +1,167 @@
-"""Per-stage device-program profile of the fused inference pipeline.
+#!/usr/bin/env python3
+"""Stage-level latency profile of the fused inference program.
 
-Times, with amortized dispatch (N enqueues, one sync — the tunnel's
-~33 ms/call dispatch otherwise swamps sub-50ms programs):
+The reference prints a per-stage ``time_dict`` (run.py:536-540); this
+is the equivalent diagnostic for the TPU pipeline, separating the
+things a deployment can actually act on:
 
-- graph build alone (voxel select + slab metadata, jitted)
-- GNN forward alone (prebuilt graph)
-- full fused program (unpack -> graph -> forward -> decode/top-k)
+- ``chip_probe_tflops``: large-matmul rate — detects the tunneled
+  chip's bistable slow state (docs/PERF_NOTES.md "Measure in ONE
+  process"; healthy v5e >= 100, <50 means every number below is
+  degraded by the environment).
+- ``put_ms``: one host->device transfer round trip (flat ~33ms on the
+  tunneled backend, ~1ms direct-attach) — the irreducible cold-start
+  leg that ``stream()`` hides under compute.
+- ``total/graph/gnn/tail_ms``: pipelined per-frame rates of the full
+  fused program and its pieces (graph construction, GNN + predictor,
+  unpack/softmax/top-k/decode).  The GNN share is the slab kernels —
+  if ``gnn_ms`` dominates, tuning anything else is pointless.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_inference.py
+Stages are timed as pipelined rates (n dispatches, one tiny fetch)
+because per-dispatch sync stalls ~50ms on tunneled backends and
+measures the link, not the program.
+
+Usage:
+    PYTHONPATH=. python tools/profile_inference.py [--label_method Car]
+        [--T 3] [--num_points 24576] [--num_keypoints 12288] [--reps 16]
 """
 
 import argparse
+import json
+import os
+import sys
 import time
 
-import numpy as np
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
-def _sync(out):
-    """Fetch ONE small slice (a full device_get of a big output tree
-    costs seconds over the ~10MB/s D2H tunnel and corrupts the timing;
-    block_until_ready is a no-op on this backend)."""
+def matmul_probe_tflops(n=4096, reps=10):
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[:1])
+    a = jnp.ones((n, n), jnp.bfloat16)
 
+    @jax.jit
+    def chain(x):
+        for _ in range(reps):
+            x = jnp.dot(x, x, preferred_element_type=jnp.bfloat16)
+            x = (x * 1e-9).astype(jnp.bfloat16)
+        return jnp.float32(x[0, 0])
 
-def timed(fn, *args, n=10, label=""):
-    out = fn(*args)  # compile
-    _sync(out)
+    float(np.asarray(chain(a)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / n * 1e3
-    print("%-28s %8.2f ms" % (label, dt))
-    return dt
+    float(np.asarray(chain(a)))
+    return 2.0 * n ** 3 * reps / (time.perf_counter() - t0) / 1e12
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--label_method", default="Car")
-    ap.add_argument("--T", type=int, default=3)
-    ap.add_argument("--points_per_beam", type=int, default=380)
-    ap.add_argument("--num_points", type=int, default=24576)
-    ap.add_argument("--num_keypoints", type=int, default=12288)
-    ap.add_argument("--n", type=int, default=10)
-    ap.add_argument("--sweep", action="store_true",
-                    help="sweep slab (block_centers, tile)")
-    ap.add_argument("--no_layers", action="store_true",
-                    help="skip the per-T layer attribution")
-    args = ap.parse_args()
-
+def pipelined_rate_ms(fn, *args, reps=16):
+    """n dispatches, one tiny fetch: compute-bound per-call rate."""
     import jax
 
-    from pointgnn_tpu import configs
+    out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def profile(config, spec=None, reps=16, probe=True):
+    """Returns the stage dict for ``config`` (see module docstring)."""
+    import warnings
+
+    import jax
+    import numpy as np
+
     from pointgnn_tpu.graph import device_builder as db
     from pointgnn_tpu.infer import InferencePipeline, select_input_features
     from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
 
-    cfg = configs.model_config(args.label_method, T=args.T)
-    spec = db.spec_from_config(
-        cfg, num_points=args.num_points, num_keypoints=args.num_keypoints,
-        per_center_caps=(32, 192),
-    )
+    if spec is None:
+        spec = db.spec_from_config(
+            config, num_points=24576, num_keypoints=12288,
+            per_center_caps=(32, 192),
+        )
     pipe = InferencePipeline(
-        cfg, on_device_graph=True, use_box_score=False, device_spec=spec
+        config, on_device_graph=True, use_box_score=False,
+        device_spec=spec,
     )
-    points, _ = synthetic_lidar_frame(
-        seed=0, points_per_beam=args.points_per_beam
-    )
-    feats = select_input_features(points.attr, pipe.input_features)
-    packed = jax.device_put(
-        db.pack_points(points.xyz, feats, spec.num_points)
-    )
-    spec_slab = spec._replace(slab_level1=True, slab_level0=True)
-    print(
-        "workload: %d raw points, spec P=%d K=%d, %s T=%d"
-        % (len(points.xyz), spec.num_points, spec.num_keypoints,
-           args.label_method, args.T)
-    )
+    spec = pipe.device_spec
+    pts, _ = synthetic_lidar_frame(seed=0, points_per_beam=380)
+    feats = select_input_features(pts.attr, config["input_features"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        packed_host = db.pack_points(pts.xyz, feats, spec.num_points)
+    packed_host = np.asarray(packed_host)
 
-    build_slab = jax.jit(
-        lambda p: db.build_padded_graph(*db.unpack_points(p), spec_slab)
-    )
-    timed(build_slab, packed, n=args.n, label="graph build (slab mode)")
+    out = {}
+    if probe:
+        out["chip_probe_tflops"] = round(matmul_probe_tflops(), 1)
+
+    # one put + tiny-readback round trip (cold-start transfer leg)
+    packed = jax.device_put(packed_host)
+    jax.device_get(packed.ravel()[:1])  # warm the channel
+    t0 = time.perf_counter()
+    for _ in range(4):
+        packed = jax.device_put(packed_host)
+        jax.device_get(packed.ravel()[:1])
+    out["put_ms"] = round((time.perf_counter() - t0) / 4 * 1e3, 2)
+
+    total = pipelined_rate_ms(pipe._device_fn, pipe.params, packed,
+                              reps=reps)
+
     build = jax.jit(
         lambda p: db.build_padded_graph(*db.unpack_points(p), spec)
     )
-    timed(build, packed, n=args.n, label="graph build (edge lists)")
+    graph_ms = pipelined_rate_ms(build, packed, reps=reps)
+    graph = build(packed)
 
-    graph = jax.device_put(jax.jit(
-        lambda p: db.build_padded_graph(*db.unpack_points(p), spec)
-    )(packed))
-    model = pipe.model
-    fwd = jax.jit(lambda params, g: model.apply(params, g))
-    timed(fwd, pipe.params, graph, n=args.n, label="GNN forward (T=%d)" % args.T)
+    apply_fn = jax.jit(lambda prm, g: pipe.model.apply(prm, g))
+    gnn_ms = pipelined_rate_ms(apply_fn, pipe.params, graph, reps=reps)
 
-    # per-layer attribution: rebuild with fewer GNN iterations; the
-    # T->T-1 delta is one slab level-1 GNN layer, T=0 is set pooling +
-    # predictor + graph build overheadless forward
-    for t in range(0 if args.no_layers else args.T):
-        sub_cfg = configs.model_config(args.label_method, T=t)
-        sub_pipe = InferencePipeline(
-            sub_cfg, on_device_graph=True, use_box_score=False,
-            device_spec=spec,
-        )
-        timed(
-            sub_pipe._device_fn, sub_pipe.params, packed, n=args.n,
-            label="fused program T=%d" % t,
-        )
-
-    timed(
-        pipe._device_fn, pipe.params, packed, n=args.n,
-        label="full fused program",
+    out.update(
+        total_ms=round(total, 2),
+        graph_ms=round(graph_ms, 2),
+        gnn_ms=round(gnn_ms, 2),
+        tail_ms=round(total - graph_ms - gnn_ms, 2),
+        cold_frame_ms=round(out["put_ms"] + total, 2),
     )
+    return out
 
-    if args.sweep:
-        for bk in (8, 16, 32, 64):
-            for tile in (64, 128, 256):
-                try:
-                    p = InferencePipeline(
-                        cfg, on_device_graph=True, use_box_score=False,
-                        device_spec=spec,
-                        slab_tuning={"block_centers": bk, "tile": tile},
-                    )
-                    timed(
-                        p._device_fn, p.params, packed, n=args.n,
-                        label="sweep bk=%d tile=%d" % (bk, tile),
-                    )
-                except Exception as exc:
-                    print("sweep bk=%d tile=%d FAILED: %r"
-                          % (bk, tile, exc))
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="fused-inference stage profile"
+    )
+    parser.add_argument("--label_method", default="Car")
+    parser.add_argument("--T", type=int, default=3)
+    parser.add_argument("--num_points", type=int, default=24576)
+    parser.add_argument("--num_keypoints", type=int, default=12288)
+    parser.add_argument("--reps", type=int, default=16)
+    parser.add_argument(
+        "--no-probe", action="store_true",
+        help="skip the matmul chip-state probe",
+    )
+    args = parser.parse_args()
+
+    from pointgnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.graph import device_builder as db
+
+    config = configs.model_config(args.label_method, T=args.T)
+    spec = db.spec_from_config(
+        config, num_points=args.num_points,
+        num_keypoints=args.num_keypoints, per_center_caps=(32, 192),
+    )
+    out = profile(config, spec, reps=args.reps, probe=not args.no_probe)
+    out["label_method"] = args.label_method
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
