@@ -31,8 +31,9 @@ def main():
     parser.add_argument(
         "--fast", dest="fast", action="store_true", default=False,
         help="Build graphs on the TPU (on-device grid radius search + "
-        "bf16 MXU). Neighbor lists are capped per center instead of the "
-        "reference's unlimited runtime neighbors.",
+        "bf16 MXU). On TPU the slab kernels compute the EXACT uncapped "
+        "radius graph (the reference's runtime num_neighbors=-1 "
+        "semantics); the CPU fallback caps neighbor lists per center.",
     )
     parser.add_argument(
         "--test", dest="test", action="store_true", default=False,
