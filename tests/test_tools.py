@@ -291,3 +291,42 @@ def test_profile_inference_stage_breakdown():
     assert out["cold_frame_ms"] == pytest.approx(
         out["put_ms"] + out["total_ms"], abs=0.02
     )
+
+
+def test_run_cli_test_split(tmp_path):
+    """run.py --test: the KITTI test-server path — a labels-free
+    ``testing/`` tree in (reference run.py:69-84), detection .txt out."""
+    import jax
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.model.pointgnn import PointGNN
+    from pointgnn_tpu.train import checkpoint as ckpt
+
+    root = str(tmp_path / "kitti_test")
+    subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "make_synthetic_kitti.py"),
+         root, "2", "Car", "--split", "testing"],
+        check=True,
+    )
+    assert not os.path.isdir(os.path.join(root, "labels"))
+    cfg = configs.model_config("Car", T=0)
+    model = PointGNN(
+        num_classes=4, box_encoding_len=7,
+        layer_configs=cfg["model_kwargs"]["layer_configs"], mode="test",
+    )
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+    ck = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(ck, 0, {"params": params}, config=cfg)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "run.py"),
+            ck, "--dataset_root_dir", root, "--test",
+            "--num_frames", "1",
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.isfile(os.path.join(ck, "eval/data/000000.txt"))

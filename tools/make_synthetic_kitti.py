@@ -89,14 +89,19 @@ def car_label_line(x_velo, y_velo, yaw=0.05):
     return label_line("Car", x_velo, y_velo, yaw)
 
 
-def main(out_dir, num_frames=4, classes=("Car",)):
+def main(out_dir, num_frames=4, classes=("Car",), split="training"):
+    """``split='testing'`` writes the KITTI test-server layout (no
+    labels dir, no split files) that ``run.py --test`` consumes
+    (/root/reference/run.py:69-84)."""
+    is_test = split == "testing"
     dirs = {
-        "image": os.path.join(out_dir, "image/training/image_2"),
-        "velo": os.path.join(out_dir, "velodyne/training/velodyne"),
-        "calib": os.path.join(out_dir, "calib/training/calib"),
-        "label": os.path.join(out_dir, "labels/training/label_2"),
-        "splits": os.path.join(out_dir, "3DOP_splits"),
+        "image": os.path.join(out_dir, "image/%s/image_2" % split),
+        "velo": os.path.join(out_dir, "velodyne/%s/velodyne" % split),
+        "calib": os.path.join(out_dir, "calib/%s/calib" % split),
     }
+    if not is_test:
+        dirs["label"] = os.path.join(out_dir, "labels/training/label_2")
+        dirs["splits"] = os.path.join(out_dir, "3DOP_splits")
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -118,9 +123,12 @@ def main(out_dir, num_frames=4, classes=("Car",)):
         )
         with open(os.path.join(dirs["calib"], name + ".txt"), "w") as f:
             f.write(CALIB_TEXT)
-        with open(os.path.join(dirs["label"], name + ".txt"), "w") as f:
-            for (cls, vx, vy) in objects:
-                f.write(label_line(cls, vx, vy) + "\n")
+        if not is_test:
+            with open(
+                os.path.join(dirs["label"], name + ".txt"), "w"
+            ) as f:
+                for (cls, vx, vy) in objects:
+                    f.write(label_line(cls, vx, vy) + "\n")
         img = rng.integers(0, 255, (375, 1242, 3)).astype(np.uint8)
         try:
             import cv2
@@ -132,14 +140,25 @@ def main(out_dir, num_frames=4, classes=("Car",)):
             Image.fromarray(img).save(
                 os.path.join(dirs["image"], name + ".png")
             )
-    with open(os.path.join(dirs["splits"], "val.txt"), "w") as f:
-        f.write("\n".join(names) + "\n")
-    with open(os.path.join(dirs["splits"], "train.txt"), "w") as f:
-        f.write("\n".join(names) + "\n")
-    print("synthetic KITTI written to %s (%d frames)" % (out_dir, num_frames))
+    if not is_test:
+        with open(os.path.join(dirs["splits"], "val.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+        with open(os.path.join(dirs["splits"], "train.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    print("synthetic KITTI (%s) written to %s (%d frames)"
+          % (split, out_dir, num_frames))
 
 
 if __name__ == "__main__":
-    classes = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("Car",)
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 4,
-         classes=classes)
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("out_dir")
+    parser.add_argument("num_frames", nargs="?", type=int, default=4)
+    parser.add_argument("classes", nargs="?", default="Car",
+                        help="comma-separated class names")
+    parser.add_argument("--split", default="training",
+                        choices=("training", "testing"))
+    args = parser.parse_args()
+    main(args.out_dir, args.num_frames,
+         classes=tuple(args.classes.split(",")), split=args.split)
