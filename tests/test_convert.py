@@ -11,29 +11,41 @@ TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 
 
 def _fake_tf_vars(model, params):
-    """Flatten our freshly-initialized params under the reference's TF
-    variable names (pointgnn_tpu/train/convert.py's scheme)."""
+    """Flatten our params under the reference's TF variable names
+    (pointgnn_tpu/train/convert.py's slim scheme): biases only on plain
+    layers, ``BatchNorm/*`` vars on normalized layers."""
     from pointgnn_tpu.train.convert import reference_name_map
 
     name_map = reference_name_map(
         model.layer_configs, model.num_classes
     )
     tf_vars = {}
+
+    def put(descs, layers):
+        for d, layer in zip(descs, layers):
+            tf_vars[d["w"]] = np.asarray(layer["w"])
+            if d["b"]:
+                tf_vars[d["b"]] = np.asarray(layer["b"])
+            if d["bn"]:
+                norm = layer["norm"]
+                tf_vars[d["bn"] + "/moving_mean"] = np.asarray(
+                    norm["ema_mean"]
+                )
+                tf_vars[d["bn"] + "/moving_variance"] = np.asarray(
+                    norm["ema_var"]
+                )
+                if d["center"]:
+                    tf_vars[d["bn"] + "/beta"] = np.asarray(
+                        norm["beta"]
+                    )
+
     for scope, entry in name_map.items():
-        for key, pairs in entry.items():
+        for key, descs in entry.items():
             if key == ("loc",):
-                for ci, ps in enumerate(pairs):
-                    for li, (wn, bn) in enumerate(ps):
-                        tf_vars[wn] = np.asarray(
-                            params[scope]["loc"][ci][li]["w"]
-                        )
-                        tf_vars[bn] = np.asarray(
-                            params[scope]["loc"][ci][li]["b"]
-                        )
+                for ci, ds in enumerate(descs):
+                    put(ds, params[scope]["loc"][ci])
             else:
-                for li, (wn, bn) in enumerate(pairs):
-                    tf_vars[wn] = np.asarray(params[scope][key][li]["w"])
-                    tf_vars[bn] = np.asarray(params[scope][key][li]["b"])
+                put(descs, params[scope][key])
     # the checkpoint also carries entries the converter must ignore
     tf_vars["global_step"] = np.asarray(1400000)
     return tf_vars
@@ -144,3 +156,82 @@ def test_convert_cli_produces_loadable_checkpoint(
     np.testing.assert_allclose(
         np.asarray(ref_boxes), np.asarray(new_boxes), atol=1e-5
     )
+
+
+def test_convert_bn_config_round_trip():
+    """BN configs convert: slim drops biases on normalized layers and
+    stores BatchNorm/{beta,moving_mean,moving_variance}; the converter
+    maps them into our norm slots and zero-fills the dropped biases.
+    flatten(convert(V)) == V proves the name map is a bijection over
+    the checkpoint's variables."""
+    import jax
+
+    from pointgnn_tpu import configs
+    from pointgnn_tpu.model.pointgnn import PointGNN
+    from pointgnn_tpu.train.convert import convert_reference_weights
+
+    cfg = configs.model_config("Car", T=1)
+    for lc in cfg["model_kwargs"]["layer_configs"]:
+        for k in list(lc["kwargs"]):
+            if k.endswith("normalization_type"):
+                lc["kwargs"][k] = "fused_BN_center"
+    model = PointGNN(
+        num_classes=cfg["num_classes"], box_encoding_len=7,
+        layer_configs=cfg["model_kwargs"]["layer_configs"], mode="eval",
+    )
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+    tf_vars = _fake_tf_vars(model, params)
+    assert any("BatchNorm/moving_mean" in k for k in tf_vars)
+    assert any("BatchNorm/beta" in k for k in tf_vars)
+    # normalized layers have no biases; is_logits finals keep theirs
+    assert not any(
+        k == "layer1/extract_vertex_features/fully_connected/biases"
+        for k in tf_vars
+    )
+    assert "output/predictor/cls/fully_connected_1/biases" in tf_vars
+
+    # randomize every checkpoint array, convert, flatten back
+    rng = np.random.default_rng(0)
+    tf_vars = {
+        k: (
+            # variances must stay positive or BN rsqrt NaNs
+            (np.abs(rng.normal(0, 1, v.shape)) + 0.5
+             if k.endswith("moving_variance")
+             else rng.normal(0, 1, v.shape)).astype(np.float32)
+            if getattr(v, "ndim", 0) else v
+        )
+        for k, v in tf_vars.items()
+    }
+    rebuilt = convert_reference_weights(
+        tf_vars, model.layer_configs, model.num_classes
+    )
+    import jax.tree_util as jtu
+
+    assert jtu.tree_structure(rebuilt) == jtu.tree_structure(
+        jtu.tree_map(np.asarray, params)
+    )
+    out_vars = _fake_tf_vars(model, rebuilt)
+    assert set(out_vars) == set(tf_vars)
+    for k in tf_vars:
+        np.testing.assert_array_equal(out_vars[k], tf_vars[k])
+    # dropped biases land as zeros
+    b0 = rebuilt["layer1"]["point_mlp"][0]["b"]
+    assert (np.asarray(b0) == 0).all() and b0.shape[0] > 0
+    # eval-mode forward runs with the converted tree (stored-stat BN)
+    from pointgnn_tpu.graph import builder, pad
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    points, _ = synthetic_lidar_frame(seed=0)
+    vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+        points.xyz[:2000], **cfg["graph_gen_kwargs"],
+        rng=np.random.default_rng(0),
+    )
+    cap = pad.GraphCapacity(
+        vertices=(2048, 1024, 1024), edges=(8192, 16384)
+    )
+    frame = pad.FrameData(
+        points.attr[:2000, :1].astype(np.float32), vcl, kil, el
+    )
+    graph = pad.pad_frame(frame, cap)
+    logits, boxes = model.apply(rebuilt, graph)
+    assert np.isfinite(np.asarray(logits)).all()
