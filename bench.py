@@ -141,22 +141,9 @@ def bench_train_step_device(cfg):
     from pointgnn_tpu.train import optimizers
     from pointgnn_tpu.train.trainer import loss_config
 
-    tpu = configs.tpu_settings(cfg["label_method"])
-    dspec = dpipe.device_spec_for_training(cfg, tpu)._replace(
-        slab_level1=True, slab_level0=True
-    )
-    model_extra = {
-        "slab_level1": {
-            "grid_g": db.slab_grid_of(dspec.level1)[1],
-            "radius": dspec.level1.radius,
-        },
-        "slab_level0": {
-            "grid_g": db.slab_grid_of(dspec.level0)[1],
-            "radius": dspec.level0.radius,
-        },
-        "edge_sentinel": "src",
-        "edges_sorted": False,
-    }
+    # shared resolution with trainer/evaluator (includes the halo keys
+    # an earlier hand-rolled copy here had drifted away from)
+    dspec, model_extra = dpipe.resolve_device_setup(cfg, slab=True)
     enc_len = encodings.get_encoding_len(cfg["box_encoding_method"])
     model = get_model(cfg["model_name"])(
         num_classes=cfg["num_classes"], box_encoding_len=enc_len,
@@ -218,32 +205,11 @@ def bench_train_step_device(cfg):
 
 
 def _chip_matmul_tflops():
-    """Reference-point matmul rate (bf16 [4096]^2, 10 reps).
+    """Chip-state stamp: healthy v5e >= 100 TF/s, < 50 degraded (one
+    shared implementation, pointgnn_tpu/utils/chip.py)."""
+    from pointgnn_tpu.utils.chip import matmul_probe_tflops
 
-    The tunneled v5e's wall clock is bistable across processes (up to
-    4x — docs/PERF_NOTES.md "Measure in ONE process"); this probe
-    stamps every bench run with the chip state it ran in, so
-    round-over-round comparisons can spot a slow-lottery run.  Healthy
-    v5e measures >=100 TF/s here; <50 means the numbers in this run
-    are degraded by the environment, not the code."""
-    import jax
-    import jax.numpy as jnp
-
-    n, reps = 4096, 10
-    a = jnp.ones((n, n), jnp.bfloat16)
-
-    @jax.jit
-    def chain(x):
-        for _ in range(reps):
-            x = jnp.dot(x, x, preferred_element_type=jnp.bfloat16)
-            x = (x * 1e-9).astype(jnp.bfloat16)
-        return jnp.float32(x[0, 0])
-
-    float(np.asarray(chain(a)))  # compile + warm
-    t0 = time.perf_counter()
-    float(np.asarray(chain(a)))
-    dt = time.perf_counter() - t0
-    return 2.0 * n ** 3 * reps / dt / 1e12
+    return matmul_probe_tflops()
 
 
 def slab_accounting(cfg, spec, points):

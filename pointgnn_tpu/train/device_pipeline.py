@@ -136,3 +136,61 @@ def device_spec_for_training(config, tpu_settings: dict):
         num_keypoints=cap.vertices[1],
         runtime=False,
     )
+
+
+def coerce_device_spec(obj):
+    """A DeviceGraphSpec from a config value.
+
+    Frozen train_configs JSON-round-trip NamedTuples into nested lists
+    (json has no tuple type); the continuous evaluator reads specs back
+    from ``train_dir/train_config``, so both forms must load."""
+    if obj is None or isinstance(obj, db.DeviceGraphSpec):
+        return obj
+    if isinstance(obj, (list, tuple)):
+        p, k, voxel, l0, l1, *flags = obj
+        return db.DeviceGraphSpec(
+            int(p), int(k), float(voxel),
+            db.LevelSpec(*l0), db.LevelSpec(*l1),
+            *[bool(f) for f in flags],
+        )
+    raise TypeError(
+        "device_graph_spec must be a DeviceGraphSpec or its JSON "
+        "round-trip (nested lists), got %r" % (type(obj),)
+    )
+
+
+def resolve_device_setup(config, spec=None, slab="auto"):
+    """``(dspec, model_extra)`` for device-graph training/eval/bench.
+
+    The ONE place the spec is resolved and the model's slab wiring
+    (grid/radius/halo per level, edge sentinel convention) is derived —
+    trainer, evaluator, and bench share it so an evaluated checkpoint
+    always sees the same graphs it trained on.
+
+    ``spec``: explicit DeviceGraphSpec, its JSON round-trip, or None
+    (the family's training spec).  ``slab`` "auto" enables the fused
+    kernels on TPU backends.
+    """
+    import jax
+
+    from pointgnn_tpu import configs as cfg_mod
+
+    tpu = cfg_mod.tpu_settings(config["label_method"])
+    dspec = coerce_device_spec(spec) or device_spec_for_training(
+        config, tpu
+    )
+    if slab == "auto":
+        slab = jax.default_backend() == "tpu"
+    model_extra = {"edge_sentinel": "src", "edges_sorted": False}
+    if slab:
+        dspec = dspec._replace(slab_level1=True, slab_level0=True)
+        for name, lvl in (
+            ("slab_level1", dspec.level1),
+            ("slab_level0", dspec.level0),
+        ):
+            model_extra[name] = {
+                "grid_g": db.slab_grid_of(lvl)[1],
+                "radius": lvl.radius,
+                "halo": lvl.slab_halo,
+            }
+    return dspec, model_extra

@@ -57,37 +57,23 @@ class Evaluator:
         self._graph_builder = None
         model_extra = {}
         if self.device_graph:
-            from pointgnn_tpu import configs as cfg_mod
-            from pointgnn_tpu.graph import device_builder as db
             from pointgnn_tpu.train import device_pipeline as dpipe
 
-            tpu = cfg_mod.tpu_settings(config["label_method"])
-            dspec = (
-                eval_config.get("device_graph_spec")
-                or self.train_config.get("device_graph_spec")
-                or dpipe.device_spec_for_training(config, tpu)
+            # shared with Trainer.__init__ (resolve_device_setup) so an
+            # evaluated checkpoint sees the same graphs it trained on;
+            # frozen train_configs JSON-round-trip the spec into nested
+            # lists, which resolve_device_setup coerces back
+            dspec, model_extra = dpipe.resolve_device_setup(
+                config,
+                spec=(
+                    eval_config.get("device_graph_spec")
+                    or self.train_config.get("device_graph_spec")
+                ),
+                slab=eval_config.get(
+                    "device_graph_slab",
+                    self.train_config.get("device_graph_slab", "auto"),
+                ),
             )
-            slab = eval_config.get(
-                "device_graph_slab",
-                self.train_config.get("device_graph_slab", "auto"),
-            )
-            if slab == "auto":
-                slab = jax.default_backend() == "tpu"
-            if slab:
-                dspec = dspec._replace(
-                    slab_level1=True, slab_level0=True
-                )
-                model_extra["slab_level1"] = {
-                    "grid_g": db.slab_grid_of(dspec.level1)[1],
-                    "radius": dspec.level1.radius,
-                    "halo": dspec.level1.slab_halo,
-                }
-                model_extra["slab_level0"] = {
-                    "grid_g": db.slab_grid_of(dspec.level0)[1],
-                    "radius": dspec.level0.radius,
-                    "halo": dspec.level0.slab_halo,
-                }
-            model_extra.update(edge_sentinel="src", edges_sorted=False)
             self.device_spec = dspec
             fetch_spec = fetch_spec._replace(device_spec=dspec)
         self.model = get_model(config["model_name"])(

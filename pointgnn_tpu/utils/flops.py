@@ -105,14 +105,21 @@ def slab_walk_pairs(
         zs = vc % grid_g
         for xc in range(x0, x1 + 1):
             use = np.abs(xs - xc) <= halo
-            if not use.any():
-                continue
-            zlo = int(zs[use].min())
-            zhi = int(zs[use].max())
+            if use.any():
+                zlo = int(zs[use].min())
+                zhi = int(zs[use].max())
+            else:
+                # the kernel walks this column anyway (a block whose
+                # x-cells have a gap > 2*halo): its zscan sentinel
+                # (grid_g, -1) collapses to hi == lo, but when lo is
+                # not tile-aligned the base rounding still DMAs and
+                # computes ONE partial tile (_slab_kernel col_body) —
+                # mirror it or walked counts under-report
+                zlo, zhi = grid_g, -1
             zlo_c = max(zlo - halo, 0)
             zhi_c = min(zhi + halo, grid_g - 1)
             lo = int(offsets[xc * grid_g + zlo_c])
-            hi = int(offsets[xc * grid_g + zhi_c + 1])
+            hi = int(offsets[xc * grid_g + zhi_c + 1]) if zhi >= 0 else lo
             base = (lo // tile) * tile
             span = hi - base
             nt = (span + tile - 1) // tile if span > 0 else 0

@@ -156,9 +156,19 @@ def test_eval_once_device_graph_mode(trained_dir):
     dspec = db.spec_from_config(
         config, num_points=16384, num_keypoints=4096, runtime=False
     )
+    # pass the spec THROUGH a JSON round-trip: that is what the
+    # evaluator reads back from a frozen train_dir/train_config (json
+    # has no tuple type, NamedTuples come back as nested lists)
+    import json
+
+    from pointgnn_tpu.train.device_pipeline import coerce_device_spec
+
+    json_spec = json.loads(json.dumps(dspec))
+    assert isinstance(json_spec, list)
+    assert coerce_device_spec(json_spec) == dspec
     eval_config = dict(
         configs.eval_config("Car"),
-        device_graph=True, device_graph_spec=dspec,
+        device_graph=True, device_graph_spec=json_spec,
     )
     evaluator = Evaluator(
         config, eval_config,

@@ -75,3 +75,24 @@ def test_forward_flops_scales_with_pairs():
     assert flops.pointgnn_forward_flops(
         cfg2, 1, 24000, 12000, 4e5, 1e6
     ) < base
+
+
+def test_slab_walk_counts_gap_column_partial_tiles():
+    """A block whose x-cells gap more than 2*halo still walks the gap
+    columns on device: the kernel's zscan sentinel collapses to
+    hi == lo, but unaligned lo DMAs one partial tile
+    (_slab_kernel col_body).  The replica must count it."""
+    from pointgnn_tpu.utils.flops import slab_walk_pairs
+
+    grid_g, tile, bk, rows_per_cell = 16, 32, 8, 5
+    # 8 centers in one block: x-cells 2 and 9 (gap 7 > 2*halo), z=3
+    center_cell = np.array([2 * 16 + 3] * 4 + [9 * 16 + 3] * 4)
+    offsets = np.arange(grid_g * grid_g + 1) * rows_per_cell
+    w = slab_walk_pairs(offsets, center_cell, grid_g, bk=bk,
+                        tile=tile, halo=1)
+    # hand walk: member columns 1-3 and 8-10 contribute 64+32+64 and
+    # 32+64+32 rows; gap columns 4-7 contribute one 32-row partial
+    # tile each (lo = offsets[xc*16+15] is never 32-aligned here)
+    assert w["walked_pairs"] == (64 + 32 + 64 + 4 * 32 + 32 + 64 + 32) * bk
+    assert w["span_pairs"] == 15 * 6 * bk
+    assert w["tiles"] == 2 + 1 + 2 + 4 + 1 + 2 + 1

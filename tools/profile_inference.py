@@ -38,23 +38,11 @@ sys.path.insert(
 
 
 def matmul_probe_tflops(n=4096, reps=10):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """Shared chip-state probe (pointgnn_tpu/utils/chip.py) so this
+    tool's stamp is comparable with bench.py's."""
+    from pointgnn_tpu.utils.chip import matmul_probe_tflops as probe
 
-    a = jnp.ones((n, n), jnp.bfloat16)
-
-    @jax.jit
-    def chain(x):
-        for _ in range(reps):
-            x = jnp.dot(x, x, preferred_element_type=jnp.bfloat16)
-            x = (x * 1e-9).astype(jnp.bfloat16)
-        return jnp.float32(x[0, 0])
-
-    float(np.asarray(chain(a)))  # compile + warm
-    t0 = time.perf_counter()
-    float(np.asarray(chain(a)))
-    return 2.0 * n ** 3 * reps / (time.perf_counter() - t0) / 1e12
+    return probe(n, reps)
 
 
 def pipelined_rate_ms(fn, *args, reps=16):
