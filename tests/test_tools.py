@@ -330,3 +330,14 @@ def test_run_cli_test_split(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.isfile(os.path.join(ck, "eval/data/000000.txt"))
+
+
+def test_tune_slab_kernels_variant_parsing():
+    sys.path.insert(0, TOOLS)
+    import tune_slab_kernels as tsk
+
+    assert tsk.parse_variants("16x32, 32x64") == [
+        {"block_centers": 16, "tile": 32},
+        {"block_centers": 32, "tile": 64},
+    ]
+    assert tsk.parse_variants("") == []
