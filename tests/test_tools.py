@@ -341,3 +341,14 @@ def test_tune_slab_kernels_variant_parsing():
         {"block_centers": 32, "tile": 64},
     ]
     assert tsk.parse_variants("") == []
+
+
+def test_tune_slab_kernels_per_level_variants():
+    sys.path.insert(0, TOOLS)
+    import tune_slab_kernels as tsk
+
+    assert tsk.parse_variants("l0:16x32,l1:8x64,32x32") == [
+        {"level0": {"block_centers": 16, "tile": 32}},
+        {"level1": {"block_centers": 8, "tile": 64}},
+        {"block_centers": 32, "tile": 32},
+    ]

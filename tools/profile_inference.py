@@ -118,6 +118,13 @@ def profile(config, spec=None, reps=16, probe=True):
         tail_ms=round(total - graph_ms - gnn_ms, 2),
         cold_frame_ms=round(out["put_ms"] + total, 2),
     )
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats and "bytes_in_use" in stats:
+        out["hbm_in_use_mb"] = round(stats["bytes_in_use"] / 2 ** 20, 1)
+        if "bytes_limit" in stats:
+            out["hbm_limit_mb"] = round(
+                stats["bytes_limit"] / 2 ** 20, 1
+            )
     return out
 
 

@@ -30,14 +30,25 @@ sys.path.insert(
 
 
 def parse_variants(text):
-    """"32x32,16x32" -> [{"block_centers": 32, "tile": 32}, ...]"""
+    """"32x32,16x32" -> [{"block_centers": 32, "tile": 32}, ...].
+
+    A ``l0:`` / ``l1:`` prefix tunes one level only (InferencePipeline
+    accepts ``{"level0": {...}, "level1": {...}}``): ``l0:16x32`` ->
+    ``{"level0": {"block_centers": 16, "tile": 32}}``.
+    """
     out = []
     for tok in text.split(","):
-        tok = tok.strip()
+        tok = tok.strip().lower()
         if not tok:
             continue
-        bk, tile = tok.lower().split("x")
-        out.append({"block_centers": int(bk), "tile": int(tile)})
+        level = None
+        if ":" in tok:
+            level, tok = tok.split(":")
+        bk, tile = tok.split("x")
+        tuning = {"block_centers": int(bk), "tile": int(tile)}
+        if level:
+            tuning = {{"l0": "level0", "l1": "level1"}[level]: tuning}
+        out.append(tuning)
     return out
 
 
@@ -113,13 +124,22 @@ def main():
     )
     base = rows[0][1]
     best = min(rows[:-1], key=lambda r: r[1])
-    for tuning, ms in rows:
-        name = "default(32x32)" if tuning is None else (
-            tuning if isinstance(tuning, str)
-            else "%dx%d" % (tuning["block_centers"], tuning["tile"])
+
+    def name_of(tuning):
+        if tuning is None:
+            return "default(32x32)"
+        if isinstance(tuning, str):
+            return tuning
+        if "block_centers" in tuning:
+            return "%dx%d" % (tuning["block_centers"], tuning["tile"])
+        return ",".join(
+            "%s:%dx%d" % (lv, t["block_centers"], t["tile"])
+            for lv, t in sorted(tuning.items())
         )
+
+    for tuning, ms in rows:
         print("  %-18s %7.2f ms/frame  (%+5.1f%%)"
-              % (name, ms, 100.0 * (ms - base) / base))
+              % (name_of(tuning), ms, 100.0 * (ms - base) / base))
     print("chip probe after: %.1f TF/s" % matmul_probe_tflops())
     if best[0] is not None and best[1] < 0.97 * base:
         print("suggested slab_tuning: %s" % json.dumps(best[0]))
