@@ -193,15 +193,16 @@ def bench_train_step_device(cfg):
     # conservative "useful FLOPs" convention, so the quoted MFU is a
     # floor on hardware utilization.
     mfu = None
+    mfu_err = None
     try:
         acct = slab_accounting(cfg, dspec, pts)
         mfu = (
             100.0 * 3.0 * acct["useful_fwd_flops"] / step_s
             / V5E_PEAK_BF16
         )
-    except Exception:
-        pass
-    return step_s * 1e3, mfu
+    except Exception as exc:  # surfaced as train_device_mfu_error
+        mfu_err = repr(exc)[:200]
+    return step_s * 1e3, mfu, mfu_err
 
 
 def _chip_matmul_tflops():
@@ -258,9 +259,12 @@ def slab_accounting(cfg, spec, points):
         ("l1", spec.level1, graph.slab_offsets, graph.slab_center_cell),
         ("l0", spec.level0, graph.slab0_offsets, graph.slab0_center_cell),
     ]:
+        from pointgnn_tpu.nn import pallas_kernels as pk
+
         w = flops.slab_walk_pairs(
             np.asarray(offs), np.asarray(cells),
-            db.slab_grid_of(level)[1], bk=32, tile=32,
+            db.slab_grid_of(level)[1],
+            bk=pk.SLAB_DEFAULT_BLOCK_CENTERS, tile=pk.SLAB_DEFAULT_TILE,
             halo=level.slab_halo,
         )
         exact = pairs_l1 if name == "l1" else pairs_l0
@@ -272,15 +276,25 @@ def slab_accounting(cfg, spec, points):
     # kernel-executed FLOPs: walked pairs x per-pair remaining chain,
     # x num layers at that level
     layer_cfgs = cfg["model_kwargs"]["layer_configs"]
-    gnn_layers = sum(
-        1 for lc in layer_cfgs
+    gnn_cfgs = [
+        lc for lc in layer_cfgs
         if lc["type"] == "scatter_max_graph_auto_center_net"
+    ]
+    gnn_layers = len(gnn_cfgs)
+    # T=0 configs have no GNN layers: the L1 slab kernel never runs,
+    # so its chain contributes nothing
+    l1_chain = (
+        flops.dense_chain_flops(
+            1, gnn_cfgs[0]["kwargs"]["edge_MLP_depth_list"]
+        )
+        if gnn_cfgs else 0.0
     )
-    l1_chain = flops.dense_chain_flops(
-        1, layer_cfgs[1]["kwargs"]["edge_MLP_depth_list"]
+    pool_cfg = next(
+        lc for lc in layer_cfgs
+        if lc["type"] == "scatter_max_point_set_pooling"
     )
     l0_chain = flops.dense_chain_flops(
-        1, layer_cfgs[0]["kwargs"]["point_MLP_depth_list"]
+        1, pool_cfg["kwargs"]["point_MLP_depth_list"]
     )
     walked_flops = (
         gnn_layers * walks["l1"]["walked_pairs"] * l1_chain
@@ -510,10 +524,12 @@ def main():
         try:
             # production TPU training path: device-graph + slab VJP
             # kernels, one frame per device
-            dev_ms, dev_mfu = bench_train_step_device(cfg)
+            dev_ms, dev_mfu, dev_mfu_err = bench_train_step_device(cfg)
             out["train_step_device_ms_per_frame"] = round(dev_ms, 2)
             if dev_mfu is not None:
                 out["train_device_mfu_pct"] = round(dev_mfu, 2)
+            elif dev_mfu_err:
+                out["train_device_mfu_error"] = dev_mfu_err
         except Exception as exc:
             out["train_device_step_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_PEDCYL", "1") != "0":

@@ -208,12 +208,16 @@ def grow_to_fit(
         sum(f.edges_list[li].shape[0] for f in frames)
         for li in range(num_levels)
     ]
+    # Grow only on TRUE overflow (need > capacity); the headroomed
+    # bucket is the growth TARGET, not part of the fit test — otherwise
+    # a frame using >1/headroom of its bucket triggers a spurious
+    # recompile plus a misleading overflow warning downstream.
     vertices = tuple(
-        max(c, _bucket(n, headroom, multiple))
+        max(c, _bucket(n, headroom, multiple)) if n > c else c
         for c, n in zip(capacity.vertices, need_v)
     )
     edges = tuple(
-        max(c, _bucket(n, headroom, multiple))
+        max(c, _bucket(n, headroom, multiple)) if n > c else c
         for c, n in zip(capacity.edges, need_e)
     )
     grew = vertices != capacity.vertices or edges != capacity.edges

@@ -37,6 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 
+# v5e sweep optimum at realistic KITTI density (docs/PERF_NOTES.md
+# "Realistic-density re-sweep"); shared with bench.py's host-side walk
+# accounting so the published overfetch numbers track what the kernels
+# actually execute.
+SLAB_DEFAULT_BLOCK_CENTERS = 32
+SLAB_DEFAULT_TILE = 32
+
 
 def _kernel(*refs, num_weights: int, num_slots: int,
             block_centers: int, apply_act_first: bool):
@@ -451,8 +458,8 @@ def slab_edge_max(
     weights: Tuple,  # flat (w1, b1, ...) remaining edge-MLP layers
     grid_g: int,
     radius: float,
-    block_centers: int = 32,
-    tile: int = 32,
+    block_centers: int = SLAB_DEFAULT_BLOCK_CENTERS,
+    tile: int = SLAB_DEFAULT_TILE,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     halo: int = 1,
@@ -976,8 +983,8 @@ def slab_edge_max_train(
     weights: Tuple,
     grid_g: int,
     radius: float,
-    block_centers: int = 32,
-    tile: int = 32,
+    block_centers: int = SLAB_DEFAULT_BLOCK_CENTERS,
+    tile: int = SLAB_DEFAULT_TILE,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     halo: int = 1,

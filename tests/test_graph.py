@@ -305,3 +305,39 @@ def test_suggest_capacity():
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         pad_mod.batch_and_pad([frames[1]], cap)
+
+
+def test_grow_to_fit_no_growth_when_frames_fit():
+    """Headroom is a growth TARGET, not part of the fit test: a frame
+    using >80% of its bucket (but still fitting) must NOT report
+    growth — growth means a recompile and an overflow warning in
+    InferencePipeline/Evaluator."""
+    from pointgnn_tpu.graph import pad as pad_mod
+
+    def frame(n, k, e0, e1):
+        return pad_mod.FrameData(
+            features=np.zeros((n, 1), np.float32),
+            vertex_coord_list=[
+                np.zeros((n, 3)), np.zeros((k, 3)), np.zeros((k, 3))
+            ],
+            keypoint_indices_list=[
+                np.zeros((k, 1), np.int64), np.zeros((k, 1), np.int64)
+            ],
+            edges_list=[
+                np.zeros((e0, 2), np.int64), np.zeros((e1, 2), np.int64)
+            ],
+        )
+
+    cap = pad_mod.GraphCapacity(
+        vertices=(4096, 1024, 1024), edges=(262144, 8192)
+    )
+    # 250000 <= 262144: fits, even though 250000 * 1.25 > 262144
+    same, grew = pad_mod.grow_to_fit(cap, [frame(4000, 1000, 250000, 8000)])
+    assert not grew and same == cap
+    # true overflow on one bucket grows THAT bucket (with headroom,
+    # quantized) and leaves the others untouched
+    grown, grew = pad_mod.grow_to_fit(cap, [frame(4000, 1000, 262145, 8000)])
+    assert grew
+    assert grown.edges[0] >= int(262145 * 1.25) // 4096 * 4096
+    assert grown.edges[0] % 4096 == 0
+    assert grown.vertices == cap.vertices and grown.edges[1] == cap.edges[1]

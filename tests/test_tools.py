@@ -352,3 +352,13 @@ def test_tune_slab_kernels_per_level_variants():
         {"level1": {"block_centers": 8, "tile": 64}},
         {"block_centers": 32, "tile": 32},
     ]
+
+
+def test_tune_slab_kernels_rejects_malformed_variants():
+    sys.path.insert(0, TOOLS)
+    import pytest
+    import tune_slab_kernels as tsk
+
+    for bad in ("l2:16x32", "16y32", "16x", "x32"):
+        with pytest.raises(ValueError, match="bad variant"):
+            tsk.parse_variants(bad)

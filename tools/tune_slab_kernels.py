@@ -37,15 +37,25 @@ def parse_variants(text):
     ``{"level0": {"block_centers": 16, "tile": 32}}``.
     """
     out = []
-    for tok in text.split(","):
-        tok = tok.strip().lower()
+    for raw in text.split(","):
+        tok = raw.strip().lower()
         if not tok:
             continue
         level = None
         if ":" in tok:
-            level, tok = tok.split(":")
-        bk, tile = tok.split("x")
-        tuning = {"block_centers": int(bk), "tile": int(tile)}
+            level, _, tok = tok.partition(":")
+            if level not in ("l0", "l1"):
+                raise ValueError(
+                    "bad variant %r: level prefix must be l0: or l1:"
+                    % raw.strip()
+                )
+        parts = tok.split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise ValueError(
+                "bad variant %r: expected [l0:|l1:]BKxTILE, e.g. 16x32"
+                % raw.strip()
+            )
+        tuning = {"block_centers": int(parts[0]), "tile": int(parts[1])}
         if level:
             tuning = {{"l0": "level0", "l1": "level1"}[level]: tuning}
         out.append(tuning)
@@ -93,6 +103,10 @@ def main():
     )
     parser.add_argument("--frames", type=int, default=24)
     args = parser.parse_args()
+    try:  # fail on typos BEFORE paying TPU init + the chip probe
+        variants = parse_variants(args.variants)
+    except ValueError as exc:
+        parser.error(str(exc))
 
     from pointgnn_tpu.utils.platform import honor_platform_env
 
@@ -119,9 +133,7 @@ def main():
         "  (DEGRADED state — rankings may not transfer to the healthy "
         "state; re-run later)" if probe0 < 50 else "",
     ))
-    rows = sweep(
-        config, spec, parse_variants(args.variants), frames, args.frames
-    )
+    rows = sweep(config, spec, variants, frames, args.frames)
     base = rows[0][1]
     best = min(rows[:-1], key=lambda r: r[1])
 
