@@ -341,6 +341,19 @@ def slab_grid_of(level: LevelSpec):
     return cell, grid
 
 
+def slab_kernel_wiring(level: LevelSpec) -> dict:
+    """The model-side slab kwargs for one level — the ONE derivation of
+    {grid_g, radius, halo} shared by training/eval
+    (train.device_pipeline.resolve_device_setup) and serving
+    (infer.InferencePipeline), so the kernel always walks the same grid
+    the graph builder wrote."""
+    return {
+        "grid_g": slab_grid_of(level)[1],
+        "radius": level.radius,
+        "halo": level.slab_halo,
+    }
+
+
 def grid_cells(xyz, mask, level: LevelSpec, origin=None):
     """Slab-grid cell id per row (pad rows get ``g*g``).
     Returns ``(cell [N] int32, origin [3])``."""

@@ -145,8 +145,9 @@ class InferencePipeline:
         # note: blocked-max aggregation (scatter-free reshape+reduce over
         # the [K, S] layout) measured slower than unsorted segment-max on
         # v5e, so the segment path is the default even for device-built
-        # graphs — but those MUST run with edges_sorted=False (their
-        # sentinel slots interleave between center blocks)
+        # graphs.  Their "src"-sentinel pad slots carry valid
+        # block-sorted destinations, so after _apply_sentinel's masking
+        # the sorted segment reduction stays legal (nn/layers.py).
         blocked = None
         # the fold/slab/pallas fast paths require NONE normalization in
         # the point/edge MLPs (nn/layers guards raise otherwise); BN/IN
@@ -185,10 +186,14 @@ class InferencePipeline:
             self.device_spec = self.device_spec._replace(
                 slab_level1=True, slab_level0=(self.slab != "l1")
             )
-            from pointgnn_tpu.graph.device_builder import slab_grid_of
+            from pointgnn_tpu.graph.device_builder import (
+                slab_kernel_wiring,
+            )
 
             # optional kernel tuning ({"block_centers": .., "tile": ..},
             # or {"level0": {...}, "level1": {...}} for per-level values)
+            # layered on the shared grid/radius/halo wiring so serving
+            # cannot drift from the training-side derivation
             tuning = slab_tuning or {}
             t_l1 = tuning.get("level1", tuning)
             t_l0 = tuning.get("level0", tuning)
@@ -196,16 +201,12 @@ class InferencePipeline:
                 k: t[k] for k in ("block_centers", "tile") if k in t
             }
             slab_level1 = {
-                "grid_g": slab_grid_of(self.device_spec.level1)[1],
-                "radius": self.device_spec.level1.radius,
-                "halo": self.device_spec.level1.slab_halo,
+                **slab_kernel_wiring(self.device_spec.level1),
                 **pick(t_l1),
             }
             if self.device_spec.slab_level0:
                 slab_level0 = {
-                    "grid_g": slab_grid_of(self.device_spec.level0)[1],
-                    "radius": self.device_spec.level0.radius,
-                    "halo": self.device_spec.level0.slab_halo,
+                    **slab_kernel_wiring(self.device_spec.level0),
                     **pick(t_l0),
                 }
         self.model = get_model(config["model_name"])(
@@ -335,6 +336,32 @@ class InferencePipeline:
         return device_fn_points
 
     # ------------------------------------------------------------------
+    def _account_overflow(self, points: Points):
+        """Accumulate host-computable capacity-overflow stats for one
+        frame into ``overflow_counters`` and warn on keypoint drop —
+        shared by run_frame and stream() so the batched serving path
+        cannot lose keypoints silently."""
+        from pointgnn_tpu.graph import device_builder as db
+
+        stats = db.host_overflow_stats(points.xyz, self.device_spec)
+        for key, val in stats.items():
+            self.overflow_counters[key] = (
+                self.overflow_counters.get(key, 0) + int(val)
+            )
+        if stats["keypoints_dropped"] > 0:
+            import warnings
+
+            warnings.warn(
+                "keypoint overflow: %d occupied voxels > capacity %d;"
+                " %d keypoints dropped (raise num_keypoints in the "
+                "DeviceGraphSpec)"
+                % (stats["voxels_occupied"],
+                   self.device_spec.num_keypoints,
+                   stats["keypoints_dropped"]),
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def run_frame(
         self, points: Points, rng: Optional[np.random.Generator] = None
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
@@ -354,24 +381,7 @@ class InferencePipeline:
             # drop; occupied-voxel overflow is host-computable too) —
             # the reference's ragged feed never drops, so silent loss
             # would be a padded-design-only regression
-            stats = db.host_overflow_stats(points.xyz, self.device_spec)
-            for key, val in stats.items():
-                self.overflow_counters[key] = (
-                    self.overflow_counters.get(key, 0) + int(val)
-                )
-            if stats["keypoints_dropped"] > 0:
-                import warnings
-
-                warnings.warn(
-                    "keypoint overflow: %d occupied voxels > capacity %d;"
-                    " %d keypoints dropped (raise num_keypoints in the "
-                    "DeviceGraphSpec)"
-                    % (stats["voxels_occupied"],
-                       self.device_spec.num_keypoints,
-                       stats["keypoints_dropped"]),
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            self._account_overflow(points)
             packed = db.pack_points(
                 points.xyz,
                 select_input_features(points.attr, self.input_features),
@@ -457,6 +467,7 @@ class InferencePipeline:
             "probs_ori": box_probs[box_indices],
         }
         if box_indices.size == 0:
+            self.frames_done += 1  # empty frames count toward averages
             empty = np.zeros(0)
             return (
                 empty.astype(np.int64),
@@ -592,10 +603,18 @@ class InferencePipeline:
                 group.append(group[-1])
             return group, real
 
-        def submit(pool, puts):
+        def pull_and_put():
+            # runs on the single background worker (order-preserving):
+            # advancing the frame iterator (dataset IO), the overflow
+            # accounting, packing, and the device_put ALL overlap the
+            # dispatch thread's compute — not just the put
             nxt = next_group()
-            if nxt is not None:
-                puts.append((pool.submit(put, nxt[0]), nxt[1]))
+            if nxt is None:
+                return None
+            group, real = nxt
+            for p in group[:real]:
+                self._account_overflow(p)
+            return put(group), real
 
         def drain(entry):
             outs, real = entry
@@ -603,22 +622,28 @@ class InferencePipeline:
             for i in range(real):
                 row = tuple(np.asarray(a[i]) for a in fetched)
                 yield row if raw else self._finish_frame(*row)
+            if raw:  # non-raw frames are counted by _finish_frame
+                self.frames_done += real
 
         pending = collections.deque()  # (dispatched program, real count)
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
-            puts = collections.deque()  # (H2D future, real count)
+            puts = collections.deque()  # futures of (device put, real)
             for _ in range(depth + 1):
-                submit(pool, puts)
+                puts.append(pool.submit(pull_and_put))
             while puts:
-                fut, real = puts.popleft()
-                pending.append((batch_fn(self.params, fut.result()), real))
-                submit(pool, puts)
+                res = puts.popleft().result()
+                if res is not None:
+                    packed, real = res
+                    pending.append((batch_fn(self.params, packed), real))
+                    puts.append(pool.submit(pull_and_put))
                 while pending and (len(pending) > depth or not puts):
                     yield from drain(pending.popleft())
 
     def _finish_frame(self, scores, sel_cls, sel_boxes, sel_xyz):
         """Host tail shared by run_frame/stream: threshold, class fold,
         NMS (run.py:264-325 semantics)."""
+        self.frames_done += 1  # count empty frames too (stage-time
+        #                        averages divide by frames_done)
         keep = scores > 0
         sel_labels = sel_cls[keep].astype(np.int64)
         sel_probs = scores[keep].astype(np.float64)
@@ -638,7 +663,6 @@ class InferencePipeline:
             appr_factor=100.0,
             top_k=-1,
         )
-        self.frames_done += 1
         return class_labels, boxes_3d, out_scores, aux
 
     # ------------------------------------------------------------------

@@ -181,16 +181,18 @@ def resolve_device_setup(config, spec=None, slab="auto"):
     )
     if slab == "auto":
         slab = jax.default_backend() == "tpu"
-    model_extra = {"edge_sentinel": "src", "edges_sorted": False}
+    slab = bool(slab)
+    # edges_sorted is NOT forced False here: for the "src" sentinel the
+    # destinations of device-built graphs are always block-sorted, and
+    # nn/layers._apply_sentinel legalizes indices_are_sorted=True after
+    # masking the pad slots.
+    model_extra = {"edge_sentinel": "src"}
+    # The spec's slab flags follow the RESOLVED decision in BOTH
+    # directions: a JSON-round-tripped spec can arrive with the flags
+    # already set, and a slab-metadata graph (dummy 1-edge lists) driven
+    # by a model without slab wiring silently aggregates garbage.
+    dspec = dspec._replace(slab_level1=slab, slab_level0=slab)
     if slab:
-        dspec = dspec._replace(slab_level1=True, slab_level0=True)
-        for name, lvl in (
-            ("slab_level1", dspec.level1),
-            ("slab_level0", dspec.level0),
-        ):
-            model_extra[name] = {
-                "grid_g": db.slab_grid_of(lvl)[1],
-                "radius": lvl.radius,
-                "halo": lvl.slab_halo,
-            }
+        model_extra["slab_level1"] = db.slab_kernel_wiring(dspec.level1)
+        model_extra["slab_level0"] = db.slab_kernel_wiring(dspec.level0)
     return dspec, model_extra

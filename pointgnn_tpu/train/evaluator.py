@@ -17,7 +17,6 @@ import numpy as np
 from pointgnn_tpu.graph import pad
 from pointgnn_tpu.model import encodings
 from pointgnn_tpu.model.pointgnn import get_model
-from pointgnn_tpu.infer import input_feature_dim
 from pointgnn_tpu.parallel import step as step_lib
 from pointgnn_tpu.train import checkpoint as ckpt_lib
 from pointgnn_tpu.train import metrics as metrics_lib
@@ -135,10 +134,11 @@ class Evaluator:
         else:
             eval_step = metric_aux
         self._eval_step = jax.jit(eval_step)
-        self._template = self.model.init(
-            jax.random.PRNGKey(0),
-            input_dim=input_feature_dim(config["input_features"]),
-        )
+        # absorb the tunneled backend's one-time D2H channel setup here
+        # (can cost minutes; same warm as Trainer/InferencePipeline)
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros(8, jnp.float32))
         self.metrics = metrics_lib.StreamingMetrics(
             config["num_classes"], enc_len
         )

@@ -78,6 +78,17 @@ class Trainer:
                 slab=train_config.get("device_graph_slab", "auto"),
             )
             self.device_spec = dspec
+            # Freeze the RESOLVED setup into the train_config saved
+            # beside every checkpoint: "auto" resolves from THIS
+            # process's backend, so a continuous evaluator on a
+            # different backend would otherwise re-resolve to different
+            # graph semantics (capped edge lists vs exact uncapped
+            # slab neighborhoods) than the model trained on.
+            self.train_config = dict(train_config)
+            self.train_config["device_graph_slab"] = bool(
+                dspec.slab_level1
+            )
+            self.train_config["device_graph_spec"] = dspec
         self.model = get_model(config["model_name"])(
             num_classes=config["num_classes"],
             box_encoding_len=enc_len,

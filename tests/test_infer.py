@@ -294,3 +294,58 @@ def test_host_path_auto_grows_capacity():
     with pytest.warns(RuntimeWarning, match="overflow"):
         trunc.run_frame(pts, np.random.default_rng(0))
     assert trunc.capacity == tiny
+
+
+def test_stream_accounts_keypoint_overflow():
+    """stream() (the production serving loop) must surface keypoint
+    overflow like run_frame does: counters accumulate and a
+    RuntimeWarning fires when occupied voxels exceed the keypoint
+    bucket — silent loss is a padded-design-only regression."""
+    import warnings
+
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=0)
+    # keypoint bucket far below the frame's occupied-voxel count
+    spec = db.spec_from_config(
+        cfg, num_points=4096, num_keypoints=8,
+        per_center_caps=(8, 16), cell_caps=(8, 16),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, seed=0,
+    )
+    pts, _ = synthetic_lidar_frame(seed=0)
+    pts = pts.__class__(xyz=pts.xyz[:3000], attr=pts.attr[:3000])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        list(pipe.stream([pts, pts], batch=2, raw=True))
+    assert pipe.overflow_counters.get("keypoints_dropped", 0) > 0
+    assert any(
+        "keypoint overflow" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+    assert pipe.frames_done == 2  # raw streaming still counts frames
+
+
+def test_frames_done_counts_empty_frames():
+    """Stage-time averages divide by frames_done, so frames with zero
+    surviving detections must still count (both tail paths)."""
+    cfg = configs.model_config("Car", T=0)
+    from pointgnn_tpu.graph import device_builder as db
+
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=256,
+        per_center_caps=(8, 16), cell_caps=(8, 16),
+    )
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec,
+        use_box_score=False, seed=0,
+    )
+    before = pipe.frames_done
+    # empty device outputs -> the _finish_frame early return
+    out = pipe._finish_frame(
+        np.zeros(4), np.zeros(4, np.int64),
+        np.zeros((4, 7)), np.zeros((4, 3)),
+    )
+    assert len(out[0]) == 0
+    assert pipe.frames_done == before + 1

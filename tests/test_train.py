@@ -453,3 +453,67 @@ def test_trainer_device_graph_mesh(fetch_spec, tmp_path):
         assert int(trainer.global_step) == 1
     finally:
         trainer.close()
+
+
+def test_resolve_device_setup_clears_preset_slab_flags():
+    """A JSON-round-tripped spec can arrive with slab flags already
+    set; when slab resolves False (e.g. CPU backend) the flags must be
+    CLEARED, or build_padded_graph emits slab metadata + dummy 1-edge
+    lists that a model without slab wiring aggregates as garbage."""
+    from pointgnn_tpu.train import device_pipeline as dpipe
+
+    config = configs.model_config("Car", T=1)
+    dspec_on, extra_on = dpipe.resolve_device_setup(config, slab=True)
+    assert dspec_on.slab_level1 and dspec_on.slab_level0
+    assert "slab_level1" in extra_on and "slab_level0" in extra_on
+    # feed the slab-flagged spec back with slab=False
+    dspec_off, extra_off = dpipe.resolve_device_setup(
+        config, spec=dspec_on, slab=False
+    )
+    assert not dspec_off.slab_level1 and not dspec_off.slab_level0
+    assert "slab_level1" not in extra_off
+    assert extra_off["edge_sentinel"] == "src"
+
+
+def test_trainer_freezes_resolved_device_setup(fetch_spec, tmp_path):
+    """'auto' slab resolves from the TRAINING process's backend; the
+    trainer must freeze the RESOLVED decision (and the resolved spec)
+    into the train_config saved beside checkpoints, so a continuous
+    evaluator on a different backend sees the same graph semantics."""
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.utils import config_io
+
+    config = fetch_spec.config
+    train_config = dict(fetch_spec.train_config)
+    train_config.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_frozen"),
+            "batch_size": 1,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 0,
+            "device_graph": True,
+            # leave device_graph_slab at its 'auto' default
+            "device_graph_spec": _small_device_spec(),
+        }
+    )
+    trainer = Trainer(
+        config,
+        train_config,
+        fetch_spec._replace(train_config=train_config),
+        num_frames=4,
+    )
+    try:
+        assert trainer.train_config["device_graph_slab"] in (True, False)
+        assert trainer.train_config["device_graph_slab"] == bool(
+            trainer.device_spec.slab_level1
+        )
+        trainer.save()
+        loaded = config_io.load_train_config(
+            os.path.join(train_config["train_dir"], "train_config")
+        )
+        assert loaded["device_graph_slab"] in (True, False)
+        # the frozen spec JSON-round-trips back to the resolved spec
+        dspec = dpipe.coerce_device_spec(loaded["device_graph_spec"])
+        assert dspec == trainer.device_spec
+    finally:
+        trainer.close()
