@@ -352,21 +352,26 @@ def _redraw_if_degraded():
     if jax.default_backend() == "cpu":
         return []
     history = json.loads(os.environ.get("POINTGNN_BENCH_PROBES", "[]"))
-    max_attempts = int(os.environ.get("POINTGNN_BENCH_MAX_ATTEMPTS", "3"))
+    max_attempts = int(os.environ.get("POINTGNN_BENCH_MAX_ATTEMPTS", "5"))
     try:
         probe = _chip_matmul_tflops()
     except Exception:
         return history
     history = history + [round(probe, 1)]
     if probe < 50.0 and len(history) < max_attempts:
+        # escalating backoff (45s, 90s, 135s, ...): the slow state can
+        # be a SUSTAINED episode, not just a per-process draw
+        # (docs/PERF_NOTES.md round-3 observation), so later retries
+        # wait longer for it to clear
+        delay = 45.0 * len(history)
         print(
             "bench: chip probe %.1f TF/s < 50 (attempt %d/%d) — "
-            "re-executing to redraw the bistable chip state"
-            % (probe, len(history), max_attempts),
+            "re-executing in %.0fs to redraw the bistable chip state"
+            % (probe, len(history), max_attempts, delay),
             file=sys.stderr,
         )
         env = dict(os.environ, POINTGNN_BENCH_PROBES=json.dumps(history))
-        time.sleep(45.0)
+        time.sleep(delay)
         os.execve(
             sys.executable,
             [sys.executable, os.path.abspath(__file__)],
