@@ -15,16 +15,24 @@ levels share vertices with identity keypoints.
 Algorithms (all static-shape, XLA-friendly):
 - voxel select: pack integer cell coords into one key, sort, take each
   group's first point, compact with ``nonzero(size=K)``;
-- radius search: bucket sources by radius-sized cells, sort keys once,
-  binary-search the 27 neighboring cells per center
-  (``searchsorted`` over the sorted key array), distance-test up to
-  ``cell_cap`` candidates per cell, and compact to ``per_center_cap``
-  neighbors with a cumsum + scatter.  Edges come out grouped by center
-  with sentinel padding — exactly the PaddedGraph layout.
+- radius search (:func:`radius_edges`): scatter sources into a dense
+  2D (x, z) grid of ``cell_cap``-slot cell tables, row-gather each
+  center's 3x3 neighboring cell tables (contiguous 128-lane-friendly
+  rows), distance-test the candidates, and compact to
+  ``per_center_cap`` neighbors with one ``top_k`` per center over a
+  slot-rank key.  Edges come out grouped by center with src-sentinel
+  padding — exactly the PaddedGraph layout;
+- slab mode (:func:`slab_metadata` + nn/pallas_kernels): no edge list
+  at all — cell-sorted candidate order + per-cell row offsets let the
+  kernel walk the exact uncapped radius graph.
 
 Determinism: the voxel representative is the lowest-index point per
-voxel and neighbor caps keep nearest-first slot order (the reference
-randomizes both at train time; inference uses the deterministic path).
+voxel (or uniform-random under ``rnd_key`` — the reference's
+train-time stochasticity); when a center saturates
+``per_center_cap``, the kept neighbors follow the top_k slot-rank
+order, i.e. cell-major then lowest-rank-within-cell — NOT
+nearest-first.  Slab mode has no cap, so the question disappears on
+the production path.
 """
 
 from typing import NamedTuple, Tuple
@@ -164,6 +172,18 @@ def _cell_keys(xyz, mask, cell_size, origin):
     return jnp.where(mask, key, big)
 
 
+def _voxel_origin(xyz, mask, voxel_size, key=None):
+    """Voxel-grid origin: the masked point minimum, shifted by a random
+    sub-voxel offset when ``key`` is given (add_rnd3d semantics).  The
+    ONE derivation shared by voxel_select and the overflow counters so
+    occupancy accounting sees the same grid the selection used."""
+    origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    if key is not None:
+        kshift, _ = jax.random.split(key)
+        origin = origin - jax.random.uniform(kshift, (3,)) * voxel_size
+    return origin
+
+
 def voxel_select(xyz, mask, voxel_size, num_keypoints, key=None):
     """One representative point index per occupied voxel.
 
@@ -181,12 +201,10 @@ def voxel_select(xyz, mask, voxel_size, num_keypoints, key=None):
     neighbor-cap mismatch).
     """
     p = xyz.shape[0]
-    origin = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
-    if key is not None:
-        kshift, kperm = jax.random.split(key)
-        origin = origin - jax.random.uniform(kshift, (3,)) * voxel_size
+    origin = _voxel_origin(xyz, mask, voxel_size, key)
     keys = _cell_keys(xyz, mask, voxel_size, origin)
     if key is not None:
+        _, kperm = jax.random.split(key)
         # stable argsort of randomly permuted keys -> the first point
         # of each voxel group in permuted order = uniform random choice
         perm = jax.random.permutation(kperm, p)
@@ -381,7 +399,12 @@ def _cell_offsets(sorted_cell, num_cells):
     first = jnp.ones((n,), bool).at[1:].set(
         sorted_cell[1:] != sorted_cell[:-1]
     )
-    idx = jnp.where(first, sorted_cell, num_cells + 1)
+    # non-first rows scatter OUT OF BOUNDS (num_cells + 2) so
+    # mode="drop" discards them entirely — the surviving indices are
+    # genuinely one-per-distinct-cell, which is what makes
+    # unique_indices=True a valid promise (an in-bounds shared dump
+    # slot would be undefined behavior under that flag)
+    idx = jnp.where(first, sorted_cell, num_cells + 2)
     tbl = (
         jnp.full((num_cells + 2,), -1, jnp.int32)
         .at[idx]
@@ -452,11 +475,14 @@ def build_padded_graph(
     )
     if return_counters:
         # occupied voxels beyond the keypoint capacity (recompute the
-        # first-of-voxel count; cheap next to the sorts that follow)
+        # first-of-voxel count; cheap next to the sorts that follow).
+        # _voxel_origin(rnd_key) reproduces the SAME (possibly
+        # randomly shifted) grid the selection above used — an
+        # unshifted recount can disagree with what was actually kept
         keys = _cell_keys(
             points_xyz, points_mask, spec.voxel_size,
-            jnp.min(
-                jnp.where(points_mask[:, None], points_xyz, jnp.inf), axis=0
+            _voxel_origin(
+                points_xyz, points_mask, spec.voxel_size, rnd_key
             ),
         )
         sk = jnp.sort(keys)
@@ -588,11 +614,16 @@ def host_overflow_stats(xyz: np.ndarray, spec: "DeviceGraphSpec"):
     n = len(xyz)
     kept = np.asarray(xyz[: spec.num_points], np.float32)
     if len(kept):
+        # SAME packing as the device _cell_keys (dims + border clip):
+        # frames wider than the device grid collapse extra voxels into
+        # border cells on device, and the host count must agree or the
+        # keypoint-loss warning mis-reports
         ijk = np.floor(
             (kept - kept.min(axis=0)) / spec.voxel_size
         ).astype(np.int64)
+        ijk = np.clip(ijk, 0, np.array([_DX - 1, _DY - 1, _DZ - 1]))
         occupied = len(
-            np.unique(ijk[:, 0] + 4096 * (ijk[:, 1] + 4096 * ijk[:, 2]))
+            np.unique(ijk[:, 0] + _DX * (ijk[:, 1] + _DY * ijk[:, 2]))
         )
     else:
         occupied = 0

@@ -289,9 +289,13 @@ class Trainer:
         # synchronize on the NEWEST enqueued step and re-serialize the
         # pipeline this loop exists to avoid
         step_no = self.global_step
-        start_epoch = (step_no * self.batch_size) // max(
-            self.num_frames, 1
-        )
+        # exact epoch recovery: the batch loop below drops the tail
+        # when batch_size does not divide num_frames, so an epoch is
+        # floor(num_frames / batch_size) steps — the reference's
+        # (step * batch_size) // num_frames (train.py:513-514)
+        # undercounts in that case and re-trains finished epochs
+        steps_per_epoch = max(self.num_frames // self.batch_size, 1)
+        start_epoch = step_no // steps_per_epoch
         pending = collections.deque()  # (step_no, device aux)
 
         def _consume(entry):

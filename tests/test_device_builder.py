@@ -306,3 +306,31 @@ def test_pipeline_accumulates_overflow_counters():
         pipe.run_frame(points)
         assert any("overflow" in str(x.message) for x in w)
     assert pipe.overflow_counters["points_dropped"] > 0
+
+
+def test_rnd_counters_match_shifted_grid():
+    """With rnd_key the voxel grid origin is randomly shifted; the
+    overflow counters must recount on the SAME shifted grid, so when
+    nothing overflows, voxels_occupied == the number of keypoints the
+    selection actually produced (for several draws)."""
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=256, num_keypoints=256,  # generous: no overflow
+        cell_caps=(8, 8), per_center_caps=(4, 4),
+    )
+    xyz = _cloud(200, seed=11)
+    attr = np.ones((200, 1), np.float32)
+    p_xyz, p_attr, p_mask = db.pad_points(xyz, attr, spec.num_points)
+    build = jax.jit(
+        lambda x, a, m, k: db.build_padded_graph(
+            x, a, m, spec, return_counters=True, rnd_key=k
+        )
+    )
+    for seed in range(4):
+        graph, counters = build(
+            p_xyz, p_attr, p_mask, jax.random.PRNGKey(seed)
+        )
+        kp = int(np.asarray(graph.vertex_mask[1]).sum())
+        occ = int(counters["voxels_occupied"])
+        assert occ == kp, (seed, occ, kp)
+        assert int(counters["keypoints_dropped"]) == 0
