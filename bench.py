@@ -254,13 +254,13 @@ def slab_accounting(cfg, spec, points):
         cfg, input_feature_dim(cfg["input_features"]),
         int(p_mask.sum()), int(k_mask.sum()), pairs_l0, pairs_l1,
     )
+    from pointgnn_tpu.nn import pallas_kernels as pk
+
     walks = {}
     for name, level, offs, cells in [
         ("l1", spec.level1, graph.slab_offsets, graph.slab_center_cell),
         ("l0", spec.level0, graph.slab0_offsets, graph.slab0_center_cell),
     ]:
-        from pointgnn_tpu.nn import pallas_kernels as pk
-
         w = flops.slab_walk_pairs(
             np.asarray(offs), np.asarray(cells),
             db.slab_grid_of(level)[1],

@@ -182,10 +182,18 @@ class InferencePipeline:
             slab = False
         self.slab = "l1" if slab == "l1" else bool(slab)
         slab_level1 = slab_level0 = None
-        if self.slab:
+        if on_device_graph:
+            # two-way: also CLEAR pre-set flags (e.g. a slab-flagged
+            # spec frozen into a device_graph checkpoint, coerced and
+            # passed back in on a backend where slab resolves False) —
+            # otherwise build_padded_graph would emit slab metadata plus
+            # dummy 1-edge lists that a non-slab model aggregates as the
+            # whole graph (same fix as resolve_device_setup)
             self.device_spec = self.device_spec._replace(
-                slab_level1=True, slab_level0=(self.slab != "l1")
+                slab_level1=bool(self.slab),
+                slab_level0=bool(self.slab) and self.slab != "l1",
             )
+        if self.slab:
             from pointgnn_tpu.graph.device_builder import (
                 slab_kernel_wiring,
             )

@@ -257,6 +257,44 @@ def test_slab_l1_mode_wiring():
     assert boxes.shape[1] == 7
 
 
+def test_preset_slab_flags_cleared_when_slab_off():
+    """A slab-flagged spec (e.g. frozen into a device_graph checkpoint's
+    train_config) passed to a pipeline where slab resolves False must
+    have its flags CLEARED — otherwise build_padded_graph emits slab
+    metadata plus dummy 1-edge lists that a non-slab model aggregates
+    as the whole graph (silently wrong detections)."""
+    from pointgnn_tpu.graph import device_builder as db
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=512,
+        per_center_caps=(16, 64), cell_caps=(32, 64),
+    )
+    flagged = spec._replace(slab_level1=True, slab_level0=True)
+    pipe = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=flagged, seed=4,
+        pallas_tail=False, slab=False,
+    )
+    assert pipe.slab is False
+    assert pipe.device_spec.slab_level1 is False
+    assert pipe.device_spec.slab_level0 is False
+    assert pipe.model.slab_level1 is None
+    assert pipe.model.slab_level0 is None
+    # and the resulting detections match a never-flagged pipeline
+    ref = InferencePipeline(
+        cfg, on_device_graph=True, device_spec=spec, seed=4,
+        pallas_tail=False, slab=False,
+    )
+    pts, _ = synthetic_lidar_frame(seed=0)
+    pts = pts.__class__(xyz=pts.xyz[:1500], attr=pts.attr[:1500])
+    out_a = pipe.run_frame(pts)
+    out_b = ref.run_frame(pts)
+    np.testing.assert_allclose(
+        np.asarray(out_a[1], np.float64),
+        np.asarray(out_b[1], np.float64), rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_host_path_auto_grows_capacity():
     """The host path must never silently truncate: an undersized bucket
     grows to fit the frame (recompile) and yields the same detections

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Same-process sweep of slab-kernel block sizes on YOUR workload.
 
-The shipped defaults (bk=32, tile=32 — nn/pallas_kernels.py) are the
+The shipped defaults (SLAB_DEFAULT_BLOCK_CENTERS x SLAB_DEFAULT_TILE,
+nn/pallas_kernels.py) are the
 v5e optimum at KITTI frustum density, but the right point depends on
 point density, radii, and chip generation.  This tool streams a
 synthetic (or user-density) workload through the fused program once
@@ -50,10 +51,14 @@ def parse_variants(text):
                     % raw.strip()
                 )
         parts = tok.split("x")
-        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+        if (
+            len(parts) != 2
+            or not all(p.isdigit() for p in parts)
+            or not all(int(p) >= 1 for p in parts)
+        ):
             raise ValueError(
-                "bad variant %r: expected [l0:|l1:]BKxTILE, e.g. 16x32"
-                % raw.strip()
+                "bad variant %r: expected [l0:|l1:]BKxTILE with both "
+                "sizes >= 1, e.g. 16x32" % raw.strip()
             )
         tuning = {"block_centers": int(parts[0]), "tile": int(parts[1])}
         if level:
@@ -80,6 +85,16 @@ def sweep(config, spec, variants, frames, n):
             config, on_device_graph=True, use_box_score=False,
             device_spec=spec, slab_tuning=tuning,
         )
+        if not pipe.slab:
+            import jax
+
+            raise SystemExit(
+                "slab kernels are inactive on this backend (%s): every "
+                "variant would time the SAME edge-list program and the "
+                "printed winner would be run-to-run noise. Run on TPU "
+                "(or force slab wiring) before sweeping."
+                % jax.default_backend()
+            )
         return stream_rate_ms(pipe, frames, n)
 
     rows = [(None, measure(None))]
@@ -137,9 +152,13 @@ def main():
     base = rows[0][1]
     best = min(rows[:-1], key=lambda r: r[1])
 
+    from pointgnn_tpu.nn import pallas_kernels as pk
+
     def name_of(tuning):
         if tuning is None:
-            return "default(32x32)"
+            return "default(%dx%d)" % (
+                pk.SLAB_DEFAULT_BLOCK_CENTERS, pk.SLAB_DEFAULT_TILE,
+            )
         if isinstance(tuning, str):
             return tuning
         if "block_centers" in tuning:
