@@ -359,6 +359,7 @@ def test_tune_slab_kernels_rejects_malformed_variants():
     import pytest
     import tune_slab_kernels as tsk
 
-    for bad in ("l2:16x32", "16y32", "16x", "x32"):
+    for bad in ("l2:16x32", "16y32", "16x", "x32", "0x32", "32x0",
+                "l0:0x0"):
         with pytest.raises(ValueError, match="bad variant"):
             tsk.parse_variants(bad)
