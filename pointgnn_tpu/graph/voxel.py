@@ -26,6 +26,8 @@ from pointgnn_tpu.core.points import Points
 
 def _voxel_keys(xyz: np.ndarray, voxel_size, rng=None) -> np.ndarray:
     """Scalar voxel key per point. Optional random grid shift (add_rnd3d)."""
+    if len(xyz) == 0:  # empty frame (e.g. degenerate frustum crop):
+        return np.zeros(0, dtype=np.int64)  # no occupied voxels
     xyz_min = xyz.min(axis=0, keepdims=True)
     shifted = xyz - xyz_min
     if rng is not None:

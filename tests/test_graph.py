@@ -105,6 +105,26 @@ def test_voxel_random_picks_one_per_voxel(rng):
     assert len(np.unique(scalar[sel])) == len(sel)
 
 
+def test_voxel_empty_input():
+    """0-point clouds flow through every downsampling variant (the
+    reference would crash; our frustum crop can legitimately produce
+    them on degenerate calibrations)."""
+    empty = np.zeros((0, 3), np.float32)
+    g = np.random.default_rng(0)
+    assert voxel.voxel_downsample_random_indices(empty, 1.0, g).shape == (0,)
+    out = voxel.voxel_downsample_average(
+        Points(empty, np.zeros((0, 4), np.float32)), 1.0
+    )
+    assert out.xyz.shape == (0, 3) and out.attr.shape[0] == 0
+    for fn in (
+        voxel.multi_level_downsample_random,
+        voxel.multi_level_downsample_select,
+    ):
+        vcl, kil = fn(empty, 0.8, [1.0, 1.0])
+        assert [v.shape for v in vcl] == [(0, 3)] * 3
+        assert all(k.shape == (0, 1) for k in kil)
+
+
 def test_multi_level_same_scale_copies():
     pts = np.random.RandomState(0).rand(200, 3).astype(np.float32) * 10
     vcl, kil = voxel.multi_level_downsample_random(

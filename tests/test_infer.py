@@ -71,6 +71,18 @@ def test_run_frame_shapes(pipeline):
     assert aux["hyp_xyz"].shape[1] == 3
 
 
+def test_run_frame_empty_input(pipeline):
+    """A 0-point frame (degenerate frustum crop) must yield 0 detections
+    through the host path, not crash in the voxel downsampler."""
+    from pointgnn_tpu.core.points import Points
+
+    empty = Points(
+        xyz=np.zeros((0, 3), np.float32), attr=np.zeros((0, 4), np.float32)
+    )
+    cls, boxes, scores, _ = pipeline.run_frame(empty)
+    assert len(cls) == len(boxes) == len(scores) == 0
+
+
 def test_detections_to_kitti(pipeline):
     # an identity-like calib projecting cam coords with f=700
     calib = {
