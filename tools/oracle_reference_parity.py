@@ -1,0 +1,370 @@
+#!/usr/bin/env python3
+"""Real-weight numeric parity oracle vs the reference's trained models.
+
+The reference's deliverable is its trained checkpoints run through its
+own TF graph (/root/reference/run.py:199-201 restore, :252-260 the
+``sess.run({predictions, probs, pred_box})`` contract).  Two shipped
+checkpoints have their weight blobs present in this mount:
+
+    /root/reference/checkpoints/car_auto_T0_train/model-1400000.*
+    /root/reference/checkpoints/car_auto_T1_train/model-1400000.*
+
+This tool executes the strongest acceptance test available without real
+KITTI data: for each checkpoint it
+
+1. restores the reference's OWN serialized computation
+   (``import_meta_graph(model-1400000.meta, clear_devices=True)`` — the
+   train-time meta graph, whose tower-0 forward is identical to
+   run.py's inference graph) and loads the trained weights;
+2. builds multi-level graphs over synthetic LiDAR-like frames with THIS
+   framework's host graph builder (graph parameters straight from the
+   frozen ``config`` next to the checkpoint);
+3. feeds the identical tensors to the TF tower-0 placeholders and to
+   this framework's jitted forward running the weights converted by
+   ``pointgnn_tpu.train.convert.convert_reference_weights``;
+4. reports per-output max-abs-diff (logits, probs, pred_box) and
+   detection-level agreement after decode+mask (run.py:264-291).
+
+Tower-0 placeholders are located by shape/dtype signature (the meta
+graph predates name scoping: train.py:184-223 creates them unnamed);
+outputs by op identity: ``t_probs`` is tower 0's ``Softmax``, whose
+input is ``t_logits``, and ``t_pred_box`` is the predictor's
+``<scope>/predictor/concat`` (gnn.py:161-162).
+
+Usage:
+    python tools/oracle_reference_parity.py [--frames N] [--seed S] \
+        [--out PARITY_r04.json] [--checkpoints car_auto_T0_train ...]
+
+Requires tensorflow (installed in this environment); runs on CPU.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+REFERENCE_CKPTS = "/root/reference/checkpoints"
+DEFAULT_CHECKPOINTS = ("car_auto_T0_train", "car_auto_T1_train")
+
+# tower-0 input signature, in placeholder creation order
+# (train.py:184-223): features, 3 coord levels, 2 edge lists,
+# 2 keypoint lists, class labels, gt boxes, valid mask, is_training.
+_SIGNATURE = [
+    ((-1, 1), "float32"),
+    ((-1, 3), "float32"),
+    ((-1, 3), "float32"),
+    ((-1, 3), "float32"),
+    ((-1, -1), "int32"),
+    ((-1, -1), "int32"),
+    ((-1, 1), "int32"),
+    ((-1, 1), "int32"),
+    ((-1, 1), "int32"),
+    ((-1, 1, 7), "float32"),
+    ((-1, 1, 1), "float32"),
+    ((), "bool"),
+]
+
+
+def _shape_key(tensor):
+    shape = tensor.shape
+    if shape.rank is None:
+        return None
+    return tuple(-1 if d is None else int(d) for d in shape.as_list())
+
+
+def find_tower0_io(graph):
+    """Locate tower-0 placeholders + (logits, probs, pred_box) tensors."""
+    phs = [op for op in graph.get_operations() if op.type == "Placeholder"]
+    keys = [
+        (_shape_key(op.outputs[0]), op.outputs[0].dtype.name) for op in phs
+    ]
+    start = None
+    for i in range(len(keys) - len(_SIGNATURE) + 1):
+        if keys[i:i + len(_SIGNATURE)] == _SIGNATURE:
+            start = i
+            break
+    if start is None:
+        raise RuntimeError(
+            "tower-0 placeholder signature not found; got %r" % (keys,)
+        )
+    window = [op.outputs[0] for op in phs[start:start + len(_SIGNATURE)]]
+    io = {
+        "features": window[0],
+        "coords": window[1:4],
+        "edges": window[4:6],
+        "keypoints": window[6:8],
+        "is_training": window[11],
+    }
+    softmaxes = [
+        op for op in graph.get_operations() if op.type == "Softmax"
+    ]
+    concats = [
+        op
+        for op in graph.get_operations()
+        if op.type in ("ConcatV2", "Concat")
+        and op.name.endswith("predictor/concat")
+    ]
+    if not softmaxes or not concats:
+        raise RuntimeError("forward output ops not found in meta graph")
+    io["probs"] = softmaxes[0].outputs[0]
+    io["logits"] = softmaxes[0].inputs[0]
+    io["pred_box"] = concats[0].outputs[0]
+    return io
+
+
+def make_frames(config, num_frames, seed, num_points=2000):
+    """Synthetic LiDAR-ish frames -> this framework's host graphs.
+
+    Returns a list of ``pad.FrameData`` (labels empty) built with the
+    frozen config's train-time ``graph_gen_kwargs``.
+    """
+    from pointgnn_tpu.graph import builder, pad
+
+    rng = np.random.RandomState(seed)
+    gkw = config["graph_gen_kwargs"]
+    frames = []
+    for _ in range(num_frames):
+        n = num_points
+        pts = np.zeros((n, 3), np.float32)
+        # cam frame: x right, y down (ground ~1.7), z forward
+        pts[:, 0] = rng.randn(n) * 8.0
+        pts[:, 1] = 1.7 - np.abs(rng.randn(n)) * 0.8
+        pts[:, 2] = np.abs(rng.randn(n)) * 18.0 + 2.0
+        feats = rng.random_sample((n, 1)).astype(np.float32)
+        vcl, kil, el = builder.gen_multi_level_local_graph_v3(
+            pts,
+            gkw["base_voxel_size"],
+            gkw["level_configs"],
+            add_rnd3d=gkw.get("add_rnd3d", False),
+            downsample_method=gkw.get("downsample_method", "random"),
+            rng=np.random.default_rng(rng.randint(1 << 31)),
+        )
+        frames.append(
+            pad.FrameData(feats, vcl, kil, el, None, None, None)
+        )
+    return frames
+
+
+def tf_forward(ckpt_dir, frames):
+    """Run the restored reference graph on each frame's tensors."""
+    import tensorflow as tf
+
+    tf1 = tf.compat.v1
+    tf1.disable_eager_execution()
+    prefix = tf1.train.latest_checkpoint(ckpt_dir)
+    graph = tf1.Graph()
+    with graph.as_default():
+        saver = tf1.train.import_meta_graph(
+            prefix + ".meta", clear_devices=True
+        )
+    io = find_tower0_io(graph)
+    outs = []
+    sess_cfg = tf1.ConfigProto(allow_soft_placement=True)
+    with tf1.Session(graph=graph, config=sess_cfg) as sess:
+        saver.restore(sess, prefix)
+        for f in frames:
+            feed = {io["features"]: f.features, io["is_training"]: False}
+            for t, v in zip(io["coords"], f.vertex_coord_list):
+                feed[t] = v.astype(np.float32)
+            for t, v in zip(io["edges"], f.edges_list):
+                feed[t] = v.astype(np.int32)
+            for t, v in zip(io["keypoints"], f.keypoint_indices_list):
+                feed[t] = v.astype(np.int32)
+            logits, probs, box = sess.run(
+                [io["logits"], io["probs"], io["pred_box"]], feed
+            )
+            outs.append(
+                {"logits": logits, "probs": probs, "pred_box": box}
+            )
+    return outs
+
+
+def dump_variables(ckpt_dir):
+    """Checkpoint variables as {name: np.ndarray} (the .npz dump the
+    converter documents, done in-process)."""
+    import tensorflow as tf
+
+    prefix = tf.compat.v1.train.latest_checkpoint(ckpt_dir)
+    reader = tf.train.load_checkpoint(prefix)
+    return {
+        k: np.asarray(reader.get_tensor(k))
+        for k in reader.get_variable_to_shape_map()
+    }
+
+
+def jax_forward(config, tf_vars, frames):
+    """Converted-weight forward through this framework on each frame."""
+    import jax
+
+    from pointgnn_tpu.graph import pad
+    from pointgnn_tpu.model.encodings import get_encoding_len
+    from pointgnn_tpu.model.pointgnn import PointGNN
+    from pointgnn_tpu.train.convert import convert_reference_weights
+
+    layer_configs = config["model_kwargs"]["layer_configs"]
+    params = convert_reference_weights(
+        tf_vars, layer_configs, config["num_classes"]
+    )
+    model = PointGNN(
+        num_classes=config["num_classes"],
+        box_encoding_len=get_encoding_len(config["box_encoding_method"]),
+        mode="test",
+        **config["model_kwargs"],
+    )
+    capacity = pad.suggest_capacity(frames, headroom=1.1, multiple=256)
+    apply_fn = jax.jit(model.apply)
+    outs = []
+    for f in frames:
+        g = pad.pad_frame(f, capacity)
+        logits, box = apply_fn(params, g)
+        probs = model.postprocess(logits)
+        k = len(f.vertex_coord_list[-1])
+        outs.append(
+            {
+                "logits": np.asarray(logits)[:k],
+                "probs": np.asarray(probs)[:k],
+                "pred_box": np.asarray(box)[:k],
+            }
+        )
+    return outs, params
+
+
+def detection_agreement(config, tf_out, jx_out, frames):
+    """Decode both sides per run.py:264-291 and compare survivors.
+
+    Returns (n_frames_compared, n_mismatched_masks, max_box_diff over
+    frames where the surviving sets match).
+    """
+    from pointgnn_tpu.model.encodings import (
+        get_box_decoding_fn,
+        get_encoding_len,
+    )
+
+    num_classes = config["num_classes"]
+    enc_len = get_encoding_len(config["box_encoding_method"])
+    decode = get_box_decoding_fn(config["box_encoding_method"])
+    label_map = {"Background": 0, "Car": 1, "DontCare": 3}
+    mask_mismatch = 0
+    max_box_diff = 0.0
+    for f, a, b in zip(frames, tf_out, jx_out):
+        centers = f.vertex_coord_list[-1]
+        dets = []
+        for out in (a, b):
+            probs = out["probs"].reshape(-1)
+            labels = np.tile(
+                np.arange(num_classes)[None, :], (len(centers), 1)
+            ).reshape(-1)
+            boxes = out["pred_box"].reshape(-1, 1, enc_len)
+            ctr = np.repeat(centers, num_classes, axis=0)
+            decoded = decode(labels[:, None], ctr, boxes, label_map)
+            mask = (
+                (labels > 0)
+                & (labels < num_classes - 1)
+                & (probs > 1.0 / num_classes)
+            )
+            dets.append((mask, decoded[mask, 0]))
+        if not np.array_equal(dets[0][0], dets[1][0]):
+            mask_mismatch += 1
+        elif dets[0][1].size:
+            max_box_diff = max(
+                max_box_diff,
+                float(np.max(np.abs(dets[0][1] - dets[1][1]))),
+            )
+    return len(frames), mask_mismatch, max_box_diff
+
+
+def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
+    """Full oracle for one checkpoint dir name; returns a report dict."""
+    from pointgnn_tpu.utils.config_io import load_config
+
+    ckpt_dir = os.path.join(ckpt_root, name)
+    config = load_config(os.path.join(ckpt_dir, "config"))
+    frames = make_frames(config, num_frames, seed)
+    tf_out = tf_forward(ckpt_dir, frames)
+    tf_vars = dump_variables(ckpt_dir)
+    jx_out, params = jax_forward(config, tf_vars, frames)
+
+    report = {
+        "checkpoint": ckpt_dir,
+        "num_frames": num_frames,
+        "seed": seed,
+        "num_output_vertices": [
+            len(f.vertex_coord_list[-1]) for f in frames
+        ],
+        "converted_arrays": len(
+            __import__("jax").tree_util.tree_leaves(params)
+        ),
+    }
+    for key in ("logits", "probs", "pred_box"):
+        diffs = [
+            float(np.max(np.abs(a[key] - b[key])))
+            for a, b in zip(tf_out, jx_out)
+        ]
+        scale = max(
+            float(np.max(np.abs(a[key]))) for a in tf_out
+        )
+        report["max_abs_diff_%s" % key] = max(diffs)
+        report["output_scale_%s" % key] = scale
+    n, mism, boxdiff = detection_agreement(config, tf_out, jx_out, frames)
+    report["detections_frames"] = n
+    report["detections_mask_mismatch"] = mism
+    report["detections_max_box_diff"] = boxdiff
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="TF real-weight oracle vs converted-JAX forward"
+    )
+    parser.add_argument("--frames", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default="PARITY_r04.json")
+    parser.add_argument(
+        "--checkpoints", nargs="*", default=list(DEFAULT_CHECKPOINTS)
+    )
+    parser.add_argument(
+        "--tol", type=float, default=1e-4,
+        help="max allowed abs diff on logits/pred_box",
+    )
+    args = parser.parse_args()
+
+    # the oracle gate is an f32 CPU-vs-CPU comparison: on TPU, f32
+    # matmuls route through the MXU's bf16 passes (~0.4% rel error),
+    # which would drown the conversion signal this tool exists to test.
+    # FORCE cpu (the axon sitecustomize pre-sets JAX_PLATFORMS=axon, so
+    # setdefault is not enough).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from pointgnn_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    reports, failed = [], False
+    for name in args.checkpoints:
+        print("== %s ==" % name)
+        rep = run_oracle(name, args.frames, args.seed)
+        for k in sorted(rep):
+            if k.startswith(("max_abs_diff", "output_scale", "detections")):
+                print("  %-28s %s" % (k, rep[k]))
+        ok = (
+            rep["max_abs_diff_logits"] <= args.tol
+            and rep["max_abs_diff_pred_box"] <= args.tol
+            and rep["detections_mask_mismatch"] == 0
+        )
+        rep["pass"] = bool(ok)
+        rep["tol"] = args.tol
+        failed |= not ok
+        print("  PASS" if ok else "  FAIL (tol %g)" % args.tol)
+        reports.append(rep)
+    with open(args.out, "w") as f:
+        json.dump({"oracle": reports}, f, indent=2)
+    print("wrote %s" % args.out)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

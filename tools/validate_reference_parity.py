@@ -7,9 +7,12 @@ evaluator -> side-by-side diff against BASELINE.md's published numbers.
 
 The reference's deliverable is its trained checkpoints scored by the
 offline evaluator (/root/reference/README.md:110-118); this tool is the
-equivalent acceptance procedure for this framework.  The weight blobs
-are not shipped in this environment, so run it on a machine with the
-reference checkout + real KITTI:
+equivalent acceptance procedure for this framework.  It needs real
+KITTI data, which this environment lacks — but the car_auto_T0/T1
+weight blobs ARE shipped here, and tools/oracle_reference_parity.py
+runs the numeric half of this check (restored reference TF graph vs
+converted-JAX forward on identical graph tensors) without any dataset.
+Run THIS tool on a machine with the reference checkout + real KITTI:
 
 1. Dump the TF checkpoint (needs TF 1.x or 2.x, one line):
 
