@@ -289,12 +289,19 @@ def slab_accounting(cfg, spec, points):
         )
         if gnn_cfgs else 0.0
     )
+    # a config without a pooling layer has no L0 slab chain (mirrors
+    # the T=0 GNN-layer guard above — don't let next() raise an opaque
+    # StopIteration through the callers' except clauses)
     pool_cfg = next(
-        lc for lc in layer_cfgs
-        if lc["type"] == "scatter_max_point_set_pooling"
+        (lc for lc in layer_cfgs
+         if lc["type"] == "scatter_max_point_set_pooling"),
+        None,
     )
-    l0_chain = flops.dense_chain_flops(
-        1, pool_cfg["kwargs"]["point_MLP_depth_list"]
+    l0_chain = (
+        flops.dense_chain_flops(
+            1, pool_cfg["kwargs"]["point_MLP_depth_list"]
+        )
+        if pool_cfg is not None else 0.0
     )
     walked_flops = (
         gnn_layers * walks["l1"]["walked_pairs"] * l1_chain

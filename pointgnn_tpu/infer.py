@@ -344,14 +344,21 @@ class InferencePipeline:
         return device_fn_points
 
     # ------------------------------------------------------------------
-    def _account_overflow(self, points: Points):
-        """Accumulate host-computable capacity-overflow stats for one
-        frame into ``overflow_counters`` and warn on keypoint drop —
-        shared by run_frame and stream() so the batched serving path
-        cannot lose keypoints silently."""
+    def _overflow_stats(self, points: Points) -> Dict[str, int]:
+        """Host-computable capacity-overflow stats for one frame.
+
+        Pure (no shared-state mutation, no warnings) so stream()'s
+        background worker may call it off the main thread.
+        """
         from pointgnn_tpu.graph import device_builder as db
 
-        stats = db.host_overflow_stats(points.xyz, self.device_spec)
+        return db.host_overflow_stats(points.xyz, self.device_spec)
+
+    def _apply_overflow_stats(self, stats: Dict[str, int], stacklevel=3):
+        """Accumulate stats into ``overflow_counters`` and warn on
+        keypoint drop.  MAIN THREAD ONLY: ``warnings`` filter contexts
+        (catch_warnings/simplefilter) are not thread-safe, so callers'
+        filters would intermittently miss an off-thread warning."""
         for key, val in stats.items():
             self.overflow_counters[key] = (
                 self.overflow_counters.get(key, 0) + int(val)
@@ -367,8 +374,14 @@ class InferencePipeline:
                    self.device_spec.num_keypoints,
                    stats["keypoints_dropped"]),
                 RuntimeWarning,
-                stacklevel=3,
+                stacklevel=stacklevel,
             )
+
+    def _account_overflow(self, points: Points):
+        """Stats + accumulate + warn for one frame — shared by
+        run_frame and stream() so the batched serving path cannot lose
+        keypoints silently."""
+        self._apply_overflow_stats(self._overflow_stats(points))
 
     def run_frame(
         self, points: Points, rng: Optional[np.random.Generator] = None
@@ -614,15 +627,17 @@ class InferencePipeline:
         def pull_and_put():
             # runs on the single background worker (order-preserving):
             # advancing the frame iterator (dataset IO), the overflow
-            # accounting, packing, and the device_put ALL overlap the
-            # dispatch thread's compute — not just the put
+            # stat computation, packing, and the device_put ALL overlap
+            # the dispatch thread's compute — not just the put.  Stats
+            # are only COMPUTED here; accumulation + the RuntimeWarning
+            # happen on the main thread at dispatch (warnings filter
+            # contexts are not thread-safe).
             nxt = next_group()
             if nxt is None:
                 return None
             group, real = nxt
-            for p in group[:real]:
-                self._account_overflow(p)
-            return put(group), real
+            stats = [self._overflow_stats(p) for p in group[:real]]
+            return put(group), real, stats
 
         def drain(entry):
             outs, real = entry
@@ -641,7 +656,9 @@ class InferencePipeline:
             while puts:
                 res = puts.popleft().result()
                 if res is not None:
-                    packed, real = res
+                    packed, real, stats = res
+                    for s in stats:  # main thread: warnings are
+                        self._apply_overflow_stats(s)  # filterable
                     pending.append((batch_fn(self.params, packed), real))
                     puts.append(pool.submit(pull_and_put))
                 while pending and (len(pending) > depth or not puts):

@@ -294,7 +294,17 @@ class Trainer:
         # floor(num_frames / batch_size) steps — the reference's
         # (step * batch_size) // num_frames (train.py:513-514)
         # undercounts in that case and re-trains finished epochs
-        steps_per_epoch = max(self.num_frames // self.batch_size, 1)
+        steps_per_epoch = self.num_frames // self.batch_size
+        if steps_per_epoch == 0:
+            # the batch loop below would run ZERO steps per epoch; with
+            # a clamped steps_per_epoch=1 a resumed step_no > 0 (e.g.
+            # num_frames shrank across runs) silently maps every past
+            # step to a whole epoch and can skip all remaining training
+            raise ValueError(
+                "num_frames=%d < batch_size=%d: an epoch would contain "
+                "no batches (shrink batch_size or add frames)"
+                % (self.num_frames, self.batch_size)
+            )
         start_epoch = step_no // steps_per_epoch
         pending = collections.deque()  # (step_no, device aux)
 
