@@ -206,6 +206,17 @@ class Trainer:
             self.train_dir, template=self.state
         )
         if state is not None:
+            if self.mesh is not None:
+                # orbax restores arrays COMMITTED to device 0; the SPMD
+                # step then rejects the device-0 state against the
+                # mesh-sharded batch.  Replicate over the mesh (the
+                # same placement the init-path state reaches lazily).
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                state = jax.device_put(
+                    state, NamedSharding(self.mesh, PartitionSpec())
+                )
             self.state = state
             print("Restored checkpoint at step %d from %s" % (
                 step, self.train_dir

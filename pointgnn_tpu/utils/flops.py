@@ -28,6 +28,7 @@ __all__ = [
     "dense_chain_flops",
     "count_inradius_pairs",
     "slab_walk_pairs",
+    "slab_walk_pairs_subblock",
     "pointgnn_forward_flops",
 ]
 
@@ -131,6 +132,92 @@ def slab_walk_pairs(
         "span_pairs": span_rows * bk,
         "tiles": tiles,
         "blocks": (k + bk - 1) // bk,
+    }
+
+
+def slab_walk_pairs_subblock(
+    offsets: np.ndarray,      # [gx*gz + 1] int32 cell row offsets
+    center_cell: np.ndarray,  # [K] int32 (pad rows = gx*gz)
+    cand_xyz: np.ndarray,     # [P(+pad), >=3] candidate coords in the
+    #                           offsets' cell-sorted order (pad = 1e6)
+    ctr_xyz: np.ndarray,      # [K, >=3] center coords (pad = -1e6)
+    grid_g: int,
+    radius: float,
+    bk: int,
+    tile: int,
+    sub: int,
+    halo: int = 1,
+) -> Dict[str, int]:
+    """Counterfactual: the slab walk with per-(sub-block, tile) MLP skip.
+
+    The kernel computes the exact [bk, tile] distance mask BEFORE the
+    edge MLP, so splitting each block's MLP into ``bk/sub`` sub-blocks
+    and skipping a (sub-block, tile) whose mask has no hit costs only a
+    mask reduction — this sim counts the pairs the MLP would then
+    actually execute (``computed_pairs``) against the unconditional
+    walk (``walked_pairs``).  DMA volume is unchanged (tiles are still
+    fetched per block).  Mirrors _slab_kernel's col_body/zscan walk.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    center_cell = np.asarray(center_cell, np.int64)
+    cand_xyz = np.asarray(cand_xyz, np.float32)[:, :3]
+    ctr_xyz = np.asarray(ctr_xyz, np.float32)[:, :3]
+    # the kernel's fused table is padded with one sentinel tile past P
+    # (_slab_prep_fused), so the last tile of a window may read past P
+    pad = np.full((tile, 3), 1e6, np.float32)
+    cand_xyz = np.concatenate([cand_xyz, pad], axis=0)
+    k = len(center_cell)
+    ncells = grid_g * grid_g
+    r2 = np.float32(radius * radius)
+    walked_rows = 0
+    computed_pairs = 0
+    tiles = 0
+    computed_subtiles = 0
+    for b0 in range(0, k, bk):
+        cells = center_cell[b0:b0 + bk]
+        valid = cells < ncells
+        if not valid.any():
+            continue
+        ctr = ctr_xyz[b0:b0 + bk]            # [bk, 3]
+        vc = cells[valid]
+        cmin, cmax = int(vc.min()), int(vc.max())
+        x0 = max(cmin // grid_g - halo, 0)
+        x1 = min(cmax // grid_g + halo, grid_g - 1)
+        xs = vc // grid_g
+        zs = vc % grid_g
+        for xc in range(x0, x1 + 1):
+            use = np.abs(xs - xc) <= halo
+            if use.any():
+                zlo = int(zs[use].min())
+                zhi = int(zs[use].max())
+            else:
+                zlo, zhi = grid_g, -1
+            zlo_c = max(zlo - halo, 0)
+            zhi_c = min(zhi + halo, grid_g - 1)
+            lo = int(offsets[xc * grid_g + zlo_c])
+            hi = int(offsets[xc * grid_g + zhi_c + 1]) if zhi >= 0 else lo
+            base = (lo // tile) * tile
+            span = hi - base
+            nt = (span + tile - 1) // tile if span > 0 else 0
+            if nt == 0:
+                continue
+            walked_rows += nt * tile
+            tiles += nt
+            rows = cand_xyz[base:base + nt * tile]      # [nt*tile, 3]
+            d2 = (
+                ((ctr[:, None, :] - rows[None, :, :]) ** 2).sum(-1)
+            )                                            # [bk, nt*tile]
+            hit = (d2 <= r2).reshape(
+                bk // sub, sub, nt, tile
+            ).any(axis=(1, 3))                           # [bk/sub, nt]
+            nsub = int(hit.sum())
+            computed_subtiles += nsub
+            computed_pairs += nsub * sub * tile
+    return {
+        "walked_pairs": walked_rows * bk,
+        "computed_pairs": computed_pairs,
+        "tiles": tiles,
+        "computed_subtiles": computed_subtiles,
     }
 
 

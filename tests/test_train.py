@@ -455,6 +455,106 @@ def test_trainer_device_graph_mesh(fetch_spec, tmp_path):
         trainer.close()
 
 
+def test_trainer_device_graph_mesh_resume_determinism(fetch_spec, tmp_path):
+    """On-mesh resume reproduces the uninterrupted stream EXACTLY.
+
+    ``graph_rng_seed`` keys the per-step keypoint randomization off
+    ``state.step`` (parallel/step.py) precisely so a mid-run orbax
+    save/restore continues the same graph sequence the uninterrupted
+    run would have seen (the reference resume contract,
+    train.py:508-519).  Train 6 steps; train 3 + save + restore into a
+    FRESH trainer + 3: the per-step losses and foreground-endpoint
+    counts must match bitwise, and the final params must be identical.
+    """
+    config = fetch_spec.config
+    assert config["graph_gen_kwargs"].get("add_rnd3d") is True
+
+    def make_trainer(train_dir):
+        train_config = dict(fetch_spec.train_config)
+        train_config.update(
+            {
+                "train_dir": train_dir,
+                "batch_size": 2,
+                "NUM_GPU": 2,
+                "num_load_dataset_workers": 0,
+                "max_epoch": 1,
+                "max_steps": -1,
+                "initial_lr": 0.05,
+                "device_graph": True,
+                "device_graph_slab": False,
+                "device_graph_spec": _small_device_spec(),
+                # deterministic host fetch: no augmentation, frames stay
+                # cached — the only step-dependent randomness left is
+                # the graph key folded from state.step
+                "data_aug_configs": [],
+                "load_dataset_every_N_time": 1000,
+            }
+        )
+        return Trainer(
+            config,
+            train_config,
+            fetch_spec._replace(train_config=train_config),
+            num_frames=4,
+        )
+
+    batches = [[0, 1], [2, 3], [1, 2], [0, 3], [3, 1], [2, 0]]
+
+    def run(trainer, batch_list):
+        out = []
+        for b in batch_list:
+            aux = trainer.train_batch(b)
+            out.append(
+                (
+                    float(np.asarray(aux["total_loss"])),
+                    int(np.asarray(aux["num_valid_endpoint"]).sum()),
+                )
+            )
+        return out
+
+    # --- run A: 6 uninterrupted steps
+    tr_a = make_trainer(str(tmp_path / "resume_a"))
+    try:
+        rec_a = run(tr_a, batches)
+        params_a = [
+            np.asarray(x)
+            for x in __import__("jax").tree_util.tree_leaves(
+                tr_a.state.params
+            )
+        ]
+    finally:
+        tr_a.close()
+
+    # --- run B: 3 steps, save, fresh trainer, restore, 3 steps
+    dir_b = str(tmp_path / "resume_b")
+    tr_b1 = make_trainer(dir_b)
+    try:
+        rec_b = run(tr_b1, batches[:3])
+        tr_b1.save()
+    finally:
+        tr_b1.close()
+    tr_b2 = make_trainer(dir_b)
+    try:
+        assert tr_b2.restore() == 3
+        assert tr_b2.global_step == 3
+        rec_b += run(tr_b2, batches[3:])
+        params_b = [
+            np.asarray(x)
+            for x in __import__("jax").tree_util.tree_leaves(
+                tr_b2.state.params
+            )
+        ]
+    finally:
+        tr_b2.close()
+
+    # bitwise agreement: same graphs, same data, same restored bits
+    assert rec_a == rec_b, (rec_a, rec_b)
+    # the graph randomization actually varied across steps (the test
+    # would pass trivially with frozen graphs)
+    assert len({v for _, v in rec_a}) > 1, rec_a
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_resolve_device_setup_clears_preset_slab_flags():
     """A JSON-round-tripped spec can arrive with slab flags already
     set; when slab resolves False (e.g. CPU backend) the flags must be
