@@ -124,10 +124,11 @@ def bench_train_step(cfg):
     return step_s * 1e3, mfu
 
 
-def bench_train_step_device(cfg):
+def bench_train_step_device(cfg, frames_per_device=1):
     """Production TPU training config: device-graph + slab custom-VJP
-    kernels (no edge lists).  Returns ms/step (one full-capacity frame
-    per device, the device_graph packing)."""
+    kernels (no edge lists).  Returns ms/step over ``frames_per_device``
+    stacked frames (graph-union weighting inside the step when > 1,
+    parallel/step.make_union_sums_fn)."""
     import jax
 
     from pointgnn_tpu import configs
@@ -164,6 +165,7 @@ def bench_train_step_device(cfg):
     step_fn = step_lib.make_train_step(
         model, opt, loss_config(cfg), mesh=None, graph_builder=builder,
         graph_rng_seed=0,  # per-step graph randomization (production)
+        frames_per_device=frames_per_device,
     )
     label_map, num_classes = LABEL_METHODS[cfg["label_method"]]
     import warnings
@@ -175,13 +177,21 @@ def bench_train_step_device(cfg):
     # silently truncated to its FIRST 32K points — a 4x6m near-field
     # sliver with ~47 valid keypoints — so earlier device-train numbers
     # measured a near-empty graph.
-    pts, labels = synthetic_lidar_frame(seed=0, points_per_beam=380)
-    feats = select_input_features(pts.attr, cfg["input_features"])
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        packed = db.pack_points(pts.xyz, feats, dspec.num_points)
-    plabels = dpipe.dl.pack_frame_labels(labels, label_map, num_classes)
-    frame = dpipe.DeviceFrame(packed, plabels)
+    frames = []
+    for i in range(frames_per_device):
+        pts, labels = synthetic_lidar_frame(seed=i, points_per_beam=380)
+        feats = select_input_features(pts.attr, cfg["input_features"])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            packed = db.pack_points(pts.xyz, feats, dspec.num_points)
+        plabels = dpipe.dl.pack_frame_labels(
+            labels, label_map, num_classes
+        )
+        frames.append(dpipe.DeviceFrame(packed, plabels))
+    frame = (
+        frames[0] if frames_per_device == 1
+        else dpipe.stack_frames(frames)
+    )
     state, aux = step_fn(state, frame)  # compile
     float(np.asarray(aux["total_loss"]))  # real sync
     step_s = _timed_steps(step_fn, state, frame, n=20)
@@ -195,11 +205,11 @@ def bench_train_step_device(cfg):
     mfu = None
     mfu_err = None
     try:
-        acct = slab_accounting(cfg, dspec, pts)
-        mfu = (
-            100.0 * 3.0 * acct["useful_fwd_flops"] / step_s
-            / V5E_PEAK_BF16
-        )
+        useful = 0.0
+        for i in range(frames_per_device):
+            fpts, _ = synthetic_lidar_frame(seed=i, points_per_beam=380)
+            useful += slab_accounting(cfg, dspec, fpts)["useful_fwd_flops"]
+        mfu = 100.0 * 3.0 * useful / step_s / V5E_PEAK_BF16
     except Exception as exc:  # surfaced as train_device_mfu_error
         mfu_err = repr(exc)[:200]
     return step_s * 1e3, mfu, mfu_err
@@ -544,6 +554,17 @@ def main():
                 out["train_device_mfu_error"] = dev_mfu_err
         except Exception as exc:
             out["train_device_step_error"] = repr(exc)[:200]
+        try:
+            # same path batched: frames_per_device=2 (the reference's
+            # batch 4 over 2 GPUs), in-step graph-union weighting
+            b_ms, b_mfu, _ = bench_train_step_device(
+                cfg, frames_per_device=2
+            )
+            out["train_step_device_b2_ms_per_frame"] = round(b_ms / 2, 2)
+            if b_mfu is not None:
+                out["train_device_b2_mfu_pct"] = round(b_mfu, 2)
+        except Exception as exc:
+            out["train_device_b2_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_PEDCYL", "1") != "0":
         # The 6-class family's r=0.4 slab grid caps at 256^2 cells
         # (cell ~1.0m > radius -> up to ~6x candidate overfetch per

@@ -200,7 +200,7 @@ class PointSetPooling:
                 else pk.slab_edge_max
             )
             tuning = {
-                k: slab[k] for k in ("block_centers", "tile")
+                k: slab[k] for k in ("block_centers", "tile", "sub")
                 if k in slab
             }
             agg = slab_fn(
@@ -503,7 +503,7 @@ class GraphNetAutoCenter:
                     else pk.slab_edge_max
                 )
                 tuning = {
-                    k: slab[k] for k in ("block_centers", "tile")
+                    k: slab[k] for k in ("block_centers", "tile", "sub")
                     if k in slab
                 }
                 agg = slab_fn(

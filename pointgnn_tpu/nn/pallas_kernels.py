@@ -43,6 +43,18 @@ NEG = -1e30
 # actually execute.
 SLAB_DEFAULT_BLOCK_CENTERS = 32
 SLAB_DEFAULT_TILE = 32
+# Sub-block MLP skip: the [bk, tile] distance mask is computed before
+# the edge MLP anyway, so the MLP can run per ``sub``-center sub-block
+# and skip sub-blocks with no in-radius pair — same DMA walk, bitwise
+# outputs, ~2x fewer L0 pairs computed at KITTI density (counterfactual
+# sweep in utils/flops.slab_walk_pairs_subblock).  MEASURED OFF on
+# v5e: the per-sub-block scalar branch breaks Mosaic's tile-loop
+# pipelining and loses more than the skipped MXU work saves — car_T3
+# serving 38-41ms (sub=0) vs 46-48 (sub=8) vs 59-60 (sub=4) in both
+# the lax.cond-carry and pl.when-on-scratch formulations; train step
+# neutral (docs/PERF_NOTES.md round 4).  The knob stays for far
+# sparser workloads; 0 disables (one unconditional block MLP).
+SLAB_DEFAULT_SUB = 0
 
 
 def _kernel(*refs, num_weights: int, num_slots: int,
@@ -290,13 +302,17 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                  *rest, num_weights: int, bk: int, tile: int, h: int,
                  h_pad: int, grid_g: int, radius: float, halo: int = 1,
                  compute_dtype: str = "bfloat16",
-                 clamp_out: bool = True):
+                 clamp_out: bool = True, sub: int = 0):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref = rest[num_weights]   # fused [P+tile, h_pad]: features
     #                                   in lanes [:h], xyz in [h:h+3]
     out_ref = rest[num_weights + 1]
-    a_tiles, sems = rest[num_weights + 2:]  # double-buffered (2, tile, h_pad)
+    # scratch: double-buffered (2, tile, h_pad) DMA tiles, the [bk,
+    # h_out] max accumulator (VMEM-resident so the sub-block skip can
+    # update it in place under pl.when — a lax.cond carry would copy
+    # the accumulator through every miss), DMA semaphores
+    a_tiles, acc_buf, sems = rest[num_weights + 2:]
     ncells = grid_g * grid_g
     i = pl.program_id(0)
     row = i % 8  # cells arrive as (8, bk) SMEM blocks (sublane rule)
@@ -332,7 +348,32 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     sub_hp = jax.lax.broadcasted_iota(jnp.int32, (8, h_pad), 0)
     unit3 = (lane_hp == (h + sub_hp)).astype(jnp.float32)
 
-    def tile_compute(a_full, acc):
+    n_sub = (bk // sub) if sub else 1
+    sub_rows = bk // n_sub  # == sub when enabled, bk when disabled
+    h_out = weight_refs[-2].shape[1] if num_weights else h
+    # per-program init: the scratch accumulator persists across grid
+    # programs on TPU, so every program must reset its block
+    acc_buf[:] = jnp.full((bk, h_out), NEG, jnp.float32)
+
+    def _mlp_agg(a_rep, b_sub, mask_sub):
+        """Edge-MLP chain + masked max for one ``sub_rows``-center
+        sub-block: [sub_rows, h_out].  Row-wise identical to the
+        full-block formulation (matmuls are row-independent), so
+        outputs are bitwise equal whether or not the block is split."""
+        x = jnp.maximum(a_rep - b_sub, 0.0)
+        for wi in range(0, num_weights, 2):
+            w = weight_refs[wi][:]
+            bb = weight_refs[wi + 1][:]
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + bb, 0.0)
+            if wi + 2 < num_weights:
+                x = x.astype(cdt)
+        x3d = x.astype(jnp.float32).reshape(sub_rows, tile, x.shape[-1])
+        maskf = mask_sub.astype(jnp.float32).reshape(sub_rows, tile, 1)
+        x3d = jnp.where(maskf > 0, x3d, NEG)
+        return jnp.max(x3d, axis=1)
+
+    def tile_compute(a_full):
         # d^2 in [bk, tile] layout, no transposes: candidate coordinate
         # ROWS are extracted from the fused table's xyz lanes with ONE
         # unit-matrix MXU dot (row ax picks lane h+ax; Precision.HIGHEST
@@ -355,26 +396,39 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         # jnp.concatenate([a_cd] * bk) it replaces emitted bk separate
         # VMEM copies per tile (~2.5GB of traffic per layer)
         a_cd = a_full[:, :h].astype(cdt)
-        a_rep = pltpu.repeat(a_cd, bk, axis=0)  # [bk*tile, h]
-        x = jnp.maximum(a_rep - b_rows, 0.0)
-        for wi in range(0, num_weights, 2):
-            w = weight_refs[wi][:]
-            bb = weight_refs[wi + 1][:]
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            x = jnp.maximum(x + bb, 0.0)
-            if wi + 2 < num_weights:
-                x = x.astype(cdt)
-        x3d = x.astype(jnp.float32).reshape(bk, tile, x.shape[-1])
-        maskf = mask.astype(jnp.float32).reshape(bk, tile, 1)
-        x3d = jnp.where(maskf > 0, x3d, NEG)
-        return jnp.maximum(acc, jnp.max(x3d, axis=1))
+        a_rep = pltpu.repeat(a_cd, sub_rows, axis=0)  # [sub*tile, h]
+        # sub-block MLP skip: the mask above is free information — run
+        # the chain only for sub-blocks with at least one in-radius
+        # pair (at KITTI density most (sub-block, tile) windows are
+        # empty at level 0; utils/flops.slab_walk_pairs_subblock).
+        # pl.when on the VMEM accumulator, NOT lax.cond on a loop
+        # carry: the cond's miss branch would copy the accumulator
+        # through every empty window, which A/B'd slower than no skip
+        # at all (docs/PERF_NOTES.md round 4).
+        for si in range(n_sub):
+            lo_r, hi_r = si * sub_rows, (si + 1) * sub_rows
 
-    def col_body(col, acc):
+            def _do(si=si, lo_r=lo_r, hi_r=hi_r):
+                agg = _mlp_agg(
+                    a_rep,
+                    b_rows[lo_r * tile:hi_r * tile],
+                    mask[lo_r:hi_r],
+                )
+                acc_buf[lo_r:hi_r, :] = jnp.maximum(
+                    acc_buf[lo_r:hi_r, :], agg
+                )
+
+            if n_sub == 1:
+                _do()
+            else:
+                pl.when(jnp.min(d2[lo_r:hi_r]) <= r2)(_do)
+
+    def col_body(col, carry):
         x0 = jnp.maximum(cmin // grid_g - halo, 0)
         xc = x0 + col
 
-        def zscan(j, carry):
-            zlo, zhi = carry
+        def zscan(j, zcarry):
+            zlo, zhi = zcarry
             cc = ccell_ref[row, j]
             xj = cc // grid_g
             zj = cc % grid_g
@@ -406,7 +460,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         def _warm():
             get_dma(0, 0).start()
 
-        def t_body(t, acc):
+        def t_body(t, tcarry):
             slot = jax.lax.rem(t, 2)
             # prefetch the next tile into the other buffer while this
             # one computes (the grid runs sequentially on the one core;
@@ -416,17 +470,16 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                 get_dma(jax.lax.rem(t + 1, 2), t + 1).start()
 
             get_dma(slot, t).wait()
-            return tile_compute(a_tiles[slot], acc)
+            tile_compute(a_tiles[slot])
+            return tcarry
 
-        return jax.lax.fori_loop(0, nt, t_body, acc)
-
-    h_out = weight_refs[-2].shape[1] if num_weights else h
-    acc0 = jnp.full((bk, h_out), NEG, jnp.float32)
+        return jax.lax.fori_loop(0, nt, t_body, carry)
 
     x0 = jnp.maximum(cmin // grid_g - halo, 0)
     x1 = jnp.minimum(cmax // grid_g + halo, grid_g - 1)
     ncols = jnp.where(cmax >= 0, x1 - x0 + 1, 0)
-    acc = jax.lax.fori_loop(0, ncols, col_body, acc0)
+    jax.lax.fori_loop(0, ncols, col_body, jnp.int32(0))
+    acc = acc_buf[:]
     if clamp_out:
         out_ref[:] = jnp.where(acc > NEG / 2, acc, 0.0)
     else:
@@ -440,7 +493,7 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     jax.jit,
     static_argnames=(
         "grid_g", "radius", "block_centers", "tile", "interpret",
-        "compute_dtype", "halo",
+        "compute_dtype", "halo", "sub",
     ),
 )
 def slab_edge_max(
@@ -463,6 +516,7 @@ def slab_edge_max(
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     halo: int = 1,
+    sub: int = SLAB_DEFAULT_SUB,
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
 
@@ -477,6 +531,11 @@ def slab_edge_max(
     double-buffered single-DMA tile loop hides the per-tile copy
     latency that used to penalize them (59.1 -> 48.3 ms full program).
 
+    ``sub``: the edge MLP runs per ``sub``-center sub-block, skipped
+    when the sub-block's distance mask (computed anyway) has no hit —
+    same DMA walk, bitwise-identical outputs, far fewer pairs computed
+    at KITTI density (see SLAB_DEFAULT_SUB).  0 disables.
+
     Candidates (``table_a``/``src_xyz``, P rows in ``offsets``' cell
     order) and centers (``table_b``/``ctr_xyz``, K rows) may be
     different point sets — the GNN layers use the same keypoints for
@@ -485,7 +544,7 @@ def slab_edge_max(
     return _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=True, halo=halo,
+        compute_dtype, clamp_out=True, halo=halo, sub=sub,
     )
 
 
@@ -531,13 +590,24 @@ def _slab_prep_fused(table_a, src_xyz, weights, tile, h, compute_dtype):
     return fused, _cast_weights(weights, compute_dtype), h_pad
 
 
+def _legal_sub(sub, bk):
+    """Largest divisor of ``bk`` that is <= ``sub`` (0 stays 0)."""
+    if not sub:
+        return 0
+    sub = min(sub, bk)
+    while bk % sub:
+        sub -= 1
+    return sub
+
+
 def _slab_forward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    clamp_out, halo=1,
+    clamp_out, halo=1, sub=SLAB_DEFAULT_SUB,
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     bk = _pick_bk(k, block_centers, "slab_edge_max")
+    sub = _legal_sub(sub, bk)
     h_out = weights[-2].shape[1] if weights else h
     table_fused, weight_args, h_pad = _slab_prep_fused(
         table_a, src_xyz, weights, tile, h, compute_dtype
@@ -563,7 +633,7 @@ def _slab_forward(
         bk=bk, tile=tile, h=h, h_pad=h_pad,
         grid_g=grid_g, radius=float(radius), halo=halo,
         compute_dtype=compute_dtype,
-        clamp_out=clamp_out,
+        clamp_out=clamp_out, sub=sub,
     )
     return pl.pallas_call(
         kernel,
@@ -573,6 +643,7 @@ def _slab_forward(
         out_shape=jax.ShapeDtypeStruct((k, h_out), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, tile, h_pad), jnp.float32),
+            pltpu.VMEM((bk, h_out), jnp.float32),  # max accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -622,7 +693,8 @@ def _slab_forward(
 def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                      g_ref, acc_ref, *rest, num_weights: int, bk: int,
                      tile: int, h: int, h_pad: int, grid_g: int,
-                     radius: float, compute_dtype: str, halo: int = 1):
+                     radius: float, compute_dtype: str, halo: int = 1,
+                     sub: int = 0):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref = rest[num_weights]   # fused [P+tile, h_pad], xyz in
@@ -671,15 +743,84 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
     g_rows = g_ref[:]       # [bk, h_out] cotangent
 
     n_layers = num_weights // 2
+    n_sub = (bk // sub) if sub else 1
+    sub_rows = bk // n_sub
+
+    def _sub_bwd(a_rep, b_sub, mask_sub, acc_sub, g_sub):
+        """Recompute + cotangent routing for one sub-block.
+
+        Returns (da_part [tile, h], db_part [sub_rows, h], dw parts).
+        Splitting the block changes only the f32 accumulation ORDER of
+        the dw/da row sums (sub-partials added instead of one long
+        contraction) — a bounded reassociation, not a semantic change.
+        """
+        # ---- forward recompute, keeping activations -----------------
+        x0 = jnp.maximum(a_rep - b_sub, 0.0)
+        acts = [x0]
+        x = x0
+        for wi in range(0, num_weights, 2):
+            w = weight_refs[wi][:]
+            bb = weight_refs[wi + 1][:]
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + bb, 0.0)
+            if wi + 2 < num_weights:
+                x = x.astype(cdt)
+            acts.append(x)
+        y = acts[-1].astype(jnp.float32)
+
+        # ---- winner detection + cotangent routing -------------------
+        y3 = y.reshape(sub_rows, tile, h_out)
+        # Mosaic can't insert a minor dim on i1 vectors — expand the
+        # mask in f32 and combine multiplicatively
+        maskf3 = mask_sub.astype(jnp.float32)[:, :, None]
+        winnerf = (
+            (y3 == acc_sub[:, None, :]).astype(jnp.float32) * maskf3
+        )
+        dy = (
+            g_sub[:, None, :] * winnerf
+        ).reshape(sub_rows * tile, h_out)
+        dw_parts = [None] * num_weights
+        for li in range(n_layers - 1, -1, -1):
+            wi = 2 * li
+            # relu' masks compare in f32 (Mosaic has no bf16 cmpf)
+            x_l = acts[li + 1].astype(jnp.float32)
+            x_prev = acts[li]
+            dz = dy * (x_l > 0).astype(jnp.float32)
+            dw = jax.lax.dot_general(
+                x_prev.astype(jnp.float32), dz,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db = jnp.sum(dz, axis=0, keepdims=True)
+            dw_parts[wi] = dw
+            dw_parts[wi + 1] = db
+            w = weight_refs[wi][:].astype(jnp.float32)
+            dy = jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dab = dy * (
+            x0.astype(jnp.float32) > 0
+        ).astype(jnp.float32)  # [sub_rows*tile, h] f32
+        dab3 = dab.reshape(sub_rows, tile, h)
+        da_part = jnp.sum(dab3, axis=0)       # [tile, h]
+        db_part = -jnp.sum(dab3, axis=1)      # [sub_rows, h]
+        return da_part, db_part, tuple(dw_parts)
+
+    def _zero_sub(*_):
+        return (
+            jnp.zeros((tile, h), jnp.float32),
+            jnp.zeros((sub_rows, h), jnp.float32),
+            tuple(
+                jnp.zeros(ref.shape, jnp.float32) for ref in dw_refs
+            ),
+        )
 
     def tile_compute(off, lo, hi, a_full, carry):
         db_acc, dw_accs = carry
-        # start the d_table_a read now — it's only needed at the final
-        # read-modify-write, so it overlaps the whole recompute
         cp_in = pltpu.make_async_copy(
             da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
         )
-        cp_in.start()
         rows = jax.lax.dot_general(
             unit3, a_full, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -698,69 +839,63 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         )
         in_span = (row_global >= lo) & (row_global < hi)
         mask = mask & in_span
+        maskf = mask.astype(jnp.float32)
+        if n_sub > 1:
+            hits = [
+                jnp.max(maskf[s * sub_rows:(s + 1) * sub_rows]) > 0
+                for s in range(n_sub)
+            ]
+            any_hit = jnp.max(maskf) > 0
+            # start the d_table_a read early — only needed at the final
+            # read-modify-write, so it overlaps the whole recompute —
+            # and only when some sub-block will actually contribute
+            pl.when(any_hit)(lambda: cp_in.start())
+        else:
+            cp_in.start()
 
-        # ---- forward recompute, keeping activations -----------------
         a_cd = a_full[:, :h].astype(cdt)
-        a_rep = pltpu.repeat(a_cd, bk, axis=0)
-        x0 = jnp.maximum(a_rep - b_rows, 0.0)
-        acts = [x0]
-        x = x0
-        for wi in range(0, num_weights, 2):
-            w = weight_refs[wi][:]
-            bb = weight_refs[wi + 1][:]
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            x = jnp.maximum(x + bb, 0.0)
-            if wi + 2 < num_weights:
-                x = x.astype(cdt)
-            acts.append(x)
-        y = acts[-1].astype(jnp.float32)
-
-        # ---- winner detection + cotangent routing -------------------
-        y3 = y.reshape(bk, tile, h_out)
-        # Mosaic can't insert a minor dim on i1 vectors — expand the
-        # mask in f32 and combine multiplicatively
-        maskf3 = mask.astype(jnp.float32)[:, :, None]
-        winnerf = (y3 == acc_rows[:, None, :]).astype(jnp.float32) * maskf3
-        dy = (
-            g_rows[:, None, :] * winnerf
-        ).reshape(bk * tile, h_out)
+        a_rep = pltpu.repeat(a_cd, sub_rows, axis=0)
+        da_total = jnp.zeros((tile, h), jnp.float32)
+        db_parts = []
         new_dw = list(dw_accs)
-        for li in range(n_layers - 1, -1, -1):
-            wi = 2 * li
-            # relu' masks compare in f32 (Mosaic has no bf16 cmpf)
-            x_l = acts[li + 1].astype(jnp.float32)
-            x_prev = acts[li]
-            dz = dy * (x_l > 0).astype(jnp.float32)
-            dw = jax.lax.dot_general(
-                x_prev.astype(jnp.float32), dz,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        for s in range(n_sub):
+            sl = slice(s * sub_rows, (s + 1) * sub_rows)
+            args = (
+                a_rep,
+                b_rows[s * sub_rows * tile:(s + 1) * sub_rows * tile],
+                mask[sl], acc_rows[sl], g_rows[sl],
             )
-            db = jnp.sum(dz, axis=0, keepdims=True)
-            new_dw[wi] = new_dw[wi] + dw
-            new_dw[wi + 1] = new_dw[wi + 1] + db
-            w = weight_refs[wi][:].astype(jnp.float32)
-            dy = jax.lax.dot_general(
-                dz, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dab = dy * (
-            x0.astype(jnp.float32) > 0
-        ).astype(jnp.float32)  # [bk*tile, h] f32
-        dab3 = dab.reshape(bk, tile, h)
-        da_contrib = jnp.sum(dab3, axis=0)       # [tile, h]
-        db_contrib = -jnp.sum(dab3, axis=1)      # [bk, h]
+            if n_sub > 1:
+                da_p, db_p, dw_p = jax.lax.cond(
+                    hits[s], _sub_bwd, _zero_sub, *args
+                )
+            else:
+                da_p, db_p, dw_p = _sub_bwd(*args)
+            da_total = da_total + da_p
+            db_parts.append(db_p)
+            for wi in range(num_weights):
+                new_dw[wi] = new_dw[wi] + dw_p[wi]
+        db_contrib = (
+            db_parts[0] if n_sub == 1
+            else jnp.concatenate(db_parts, axis=0)
+        )
 
         # ---- read-modify-write d_table_a tile (sequential grid) -----
-        cp_in.wait()
-        da_tile[:] = da_tile[:] + jnp.pad(
-            da_contrib, ((0, 0), (0, h_pad - h))
-        )
-        cp_out = pltpu.make_async_copy(
-            da_tile, da_out_ref.at[pl.ds(off, tile), :], sems.at[2]
-        )
-        cp_out.start()
-        cp_out.wait()
+        def _rmw():
+            cp_in.wait()
+            da_tile[:] = da_tile[:] + jnp.pad(
+                da_total, ((0, 0), (0, h_pad - h))
+            )
+            cp_out = pltpu.make_async_copy(
+                da_tile, da_out_ref.at[pl.ds(off, tile), :], sems.at[2]
+            )
+            cp_out.start()
+            cp_out.wait()
+
+        if n_sub > 1:
+            pl.when(any_hit)(_rmw)
+        else:
+            _rmw()
         return db_acc + db_contrib, tuple(new_dw)
 
     def col_body(col, carry):
@@ -832,11 +967,12 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
 def _slab_backward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     raw_acc, g, grid_g, radius, block_centers, tile, interpret,
-    compute_dtype, halo=1,
+    compute_dtype, halo=1, sub=SLAB_DEFAULT_SUB,
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     p = table_a.shape[0]
     bk = _pick_bk(k, block_centers, "slab_edge_max (backward)")
+    sub = _legal_sub(sub, bk)
     table_fused, weight_args, h_pad = _slab_prep_fused(
         table_a, src_xyz, weights, tile, h, compute_dtype
     )
@@ -881,6 +1017,7 @@ def _slab_backward(
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, h_pad=h_pad, grid_g=grid_g,
         radius=float(radius), compute_dtype=compute_dtype, halo=halo,
+        sub=sub,
     )
     n_in_before_da = 6 + len(weight_args) + 1
     outs = pl.pallas_call(
@@ -913,11 +1050,13 @@ def _slab_backward(
     return d_table_a, d_table_b, tuple(d_weights)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+)
 def _slab_train_p(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    halo=1,
+    halo=1, sub=SLAB_DEFAULT_SUB,
 ):
     # All array inputs are PRIMALS (never close over tracers in a
     # custom_vjp — it leaks them across the remat/jit trace boundary);
@@ -925,19 +1064,19 @@ def _slab_train_p(
     return _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=True, halo=halo,
+        compute_dtype, clamp_out=True, halo=halo, sub=sub,
     )
 
 
 def _slab_train_fwd(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    halo=1,
+    halo=1, sub=SLAB_DEFAULT_SUB,
 ):
     raw = _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=False, halo=halo,
+        compute_dtype, clamp_out=False, halo=halo, sub=sub,
     )
     out = jnp.where(raw > NEG / 2, raw, 0.0)
     res = (table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
@@ -947,7 +1086,7 @@ def _slab_train_fwd(
 
 def _slab_train_bwd(
     grid_g, radius, block_centers, tile, interpret, compute_dtype, halo,
-    res, g,
+    sub, res, g,
 ):
     import numpy as _np
 
@@ -957,6 +1096,7 @@ def _slab_train_bwd(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, raw, g.astype(jnp.float32), grid_g, radius,
         block_centers, tile, interpret, compute_dtype, halo=halo,
+        sub=sub,
     )
     float0 = jax.dtypes.float0
     return (
@@ -988,6 +1128,7 @@ def slab_edge_max_train(
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     halo: int = 1,
+    sub: int = SLAB_DEFAULT_SUB,
 ):
     """Differentiable :func:`slab_edge_max` for the training path.
 
@@ -1004,5 +1145,5 @@ def slab_edge_max_train(
     return _slab_train_p(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         tuple(weights), grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, halo,
+        compute_dtype, halo, sub,
     )

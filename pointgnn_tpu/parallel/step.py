@@ -90,6 +90,120 @@ def _endpoint_counts(model, graph: PaddedGraph):
     return n_ep, n_val
 
 
+def make_union_sums_fn(
+    model, loss_cfg, graph_builder, frames_per_device: int,
+    with_metrics: bool = False, vary_axis: Optional[str] = None,
+):
+    """Per-device loss SUMS over ``frames_per_device`` stacked frames.
+
+    The reference batches frames by concatenating their graphs with
+    index offsets (train.py:135-171), so the batch loss is the
+    endpoint-count-weighted mean over the union.  The slab/device path
+    builds each frame on its own per-frame grid (one merged grid would
+    blow the SMEM-bounded cell floor), so instead the step
+    ``lax.scan``s graph build + model + loss over the stacked frames
+    and accumulates weighted SUMS; the caller normalizes
+
+        cls = sum_f cls_f * n_ep_f / sum_f n_ep_f     (loc: n_val_f)
+
+    with per-device totals (single device) or psum-ed mesh totals
+    (SPMD) — exactly the union loss either way.  The scan keeps ONE
+    compiled program and amortizes the per-step fixed costs (optimizer,
+    metric psums, dispatch) that dominate one-frame steps; the slab
+    custom-VJP residuals stack per frame ([F, ...] in HBM).
+
+    Streaming-metric count updates and BN sufficient statistics are
+    accumulated inside the scan (both are additive across frames);
+    ``classwise`` is the per-frame SUM of the classwise breakdown (a
+    console/TB metric, not a gradient term — callers divide by F).
+
+    Returns ``sums_fn(params, frames_batch, key) -> (acc, reg_loss)``
+    where ``key`` (optional) is folded with the frame index for
+    per-frame graph randomization.
+    """
+    collect_bn = (
+        getattr(model, "_has_bn", False) and model.mode == "train"
+    )
+
+    def frame_terms(params, frame, key):
+        graph = (
+            graph_builder(frame) if key is None
+            else graph_builder(frame, key)
+        )
+        bn_stats = None
+        if collect_bn:
+            logits, boxes, bn_stats = model.apply(
+                params, graph, collect_stats=True
+            )
+        else:
+            logits, boxes = model.apply(params, graph)
+        d = model.loss(
+            params,
+            logits,
+            graph.cls_labels,
+            boxes,
+            graph.encoded_boxes,
+            graph.valid_boxes,
+            graph.vertex_mask[model.output_graph_level],
+            **loss_cfg,
+        )
+        n_ep = d["num_endpoint"].astype(jnp.float32)
+        n_val = d["num_valid_endpoint"].astype(jnp.float32)
+        out = {
+            "cls_w": d["cls_loss"] * n_ep,
+            "loc_w": d["loc_loss"] * n_val,
+            "n_ep": n_ep,
+            "n_val": n_val,
+            "classwise": d["classwise_loc_loss"],
+        }
+        if bn_stats is not None:
+            out["bn_stats"] = bn_stats
+        if with_metrics:
+            from pointgnn_tpu.train import metrics as metrics_lib
+
+            out.update(metrics_lib.device_updates(
+                jax.lax.stop_gradient(logits),
+                graph.cls_labels,
+                graph.vertex_mask[model.output_graph_level],
+                model.num_classes,
+            ))
+        return out
+
+    def sums_fn(params, frames_batch, key=None):
+        def body(acc, xs):
+            frame, f_idx = xs
+            fkey = None if key is None else jax.random.fold_in(key, f_idx)
+            terms = frame_terms(params, frame, fkey)
+            return jax.tree_util.tree_map(jnp.add, acc, terms), None
+
+        f_idx = jnp.arange(frames_per_device, dtype=jnp.int32)
+        # abstract evaluation for the zero carry structure (no compile)
+        zero = jax.eval_shape(
+            frame_terms, params,
+            jax.tree_util.tree_map(lambda x: x[0], frames_batch),
+            key,
+        )
+        zero = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), zero
+        )
+        if vary_axis is not None:
+            # under shard_map the scan carry must match the body's
+            # device-varying type; constants start unvarying
+            zero = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, (vary_axis,)), zero
+            )
+        acc, _ = jax.lax.scan(body, zero, (frames_batch, f_idx))
+        if model._reg_fn is not None:
+            from pointgnn_tpu.nn import mlp as _mlp
+
+            reg_loss = _mlp.regularization_loss(params, model._reg_fn)
+        else:
+            reg_loss = jnp.zeros(())
+        return acc, reg_loss
+
+    return sums_fn
+
+
 _SCALAR_KEYS = ("cls_loss", "loc_loss", "reg_loss", "total_loss")
 _PER_DEVICE_KEYS = (
     "classwise_loc_loss", "num_endpoint", "num_valid_endpoint",
@@ -107,6 +221,7 @@ def make_train_step(
     graph_builder=None,
     graph_rng_seed: Optional[int] = None,
     bn_decay: float = 0.999,
+    frames_per_device: int = 1,
 ):
     """Build the jitted step.
 
@@ -132,8 +247,30 @@ def make_train_step(
     Deriving the key from ``state.step`` keeps the step signature and
     checkpoint-resume behavior unchanged (resuming at step N reproduces
     exactly the graphs the uninterrupted run would have seen).
+
+    ``frames_per_device``: with a graph_builder, >1 scans graph build +
+    model + loss over that many stacked frames per device and combines
+    them with the reference's graph-union endpoint weighting
+    (train.py:135-171) — see :func:`make_union_sums_fn`.  The batch's
+    leaves then carry a leading [F] axis per device ([n_dev, F, ...]
+    stacked under a mesh).  F=1 keeps the original (scan-free) program
+    bit-for-bit.
     """
+    if frames_per_device > 1 and graph_builder is None:
+        raise ValueError(
+            "frames_per_device > 1 requires a graph_builder (host-graph "
+            "batching unions frames in pad.batch_and_pad instead)"
+        )
+    multi = graph_builder is not None and frames_per_device > 1
     loss_fn = make_loss_fn(model, loss_cfg, with_logits=with_metrics)
+    sums_fn = (
+        make_union_sums_fn(
+            model, loss_cfg, graph_builder, frames_per_device,
+            with_metrics=with_metrics,
+            vary_axis=DATA_AXIS if mesh is not None else None,
+        )
+        if multi else None
+    )
 
     def _graph_key(step_no, device_pos=None):
         if graph_rng_seed is None:
@@ -181,7 +318,44 @@ def make_train_step(
             params = mlp_lib.update_bn_ema(params, bn_stats, bn_decay)
         return TrainState(state.step + 1, params, opt_state), aux
 
+    def _union_aux(acc, reg_loss, cls_loss, loc_loss):
+        aux = {
+            "cls_loss": cls_loss,
+            "loc_loss": loc_loss,
+            "reg_loss": reg_loss,
+            "total_loss": cls_loss + loc_loss + reg_loss,
+            "classwise_loc_loss": acc["classwise"] / frames_per_device,
+            "num_endpoint": acc["n_ep"],
+            "num_valid_endpoint": acc["n_val"],
+        }
+        if "bn_stats" in acc:
+            aux["bn_stats"] = acc["bn_stats"]
+        if with_metrics:
+            for k in ("confusion", "pr_pos_hist", "pr_neg_hist"):
+                aux[k] = acc[k]
+        return aux
+
     if mesh is None:
+        if multi:
+
+            @jax.jit
+            def step(state: TrainState, batch):
+                key = _graph_key(state.step)
+
+                def lossf(p):
+                    acc, reg = sums_fn(p, batch, key)
+                    cls = acc["cls_w"] / jnp.maximum(acc["n_ep"], 1.0)
+                    loc = acc["loc_w"] / jnp.maximum(acc["n_val"], 1.0)
+                    return cls + loc + reg, (acc, reg, cls, loc)
+
+                (_, (acc, reg, cls, loc)), grads = jax.value_and_grad(
+                    lossf, has_aux=True
+                )(state.params)
+                return _apply_updates(
+                    state, grads, _union_aux(acc, reg, cls, loc)
+                )
+
+            return step
 
         @jax.jit
         def step(state: TrainState, batch):
@@ -250,6 +424,61 @@ def make_train_step(
         out.update(metric_aux)
         return grads, out
 
+    def _spmd_grads_multi(params, step_no, batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        key = _graph_key(step_no, jax.lax.axis_index(DATA_AXIS))
+        n_dev = jax.lax.psum(1, DATA_AXIS)
+
+        if unify_copies:
+            # per-device contribution to the GLOBAL union loss: grads of
+            # replicated params are psum-ed across the mesh by shard_map,
+            # so sum_dev(sums/tot) differentiates to exactly the one-big-
+            # batch gradient (the reference's unify_copies +
+            # average_gradients, train.py:264-288)
+            def lossf(p):
+                acc, reg = sums_fn(p, batch, key)
+                tot_ep = jax.lax.psum(acc["n_ep"], DATA_AXIS)
+                tot_val = jax.lax.psum(acc["n_val"], DATA_AXIS)
+                cls_c = acc["cls_w"] / jnp.maximum(tot_ep, 1.0)
+                loc_c = acc["loc_w"] / jnp.maximum(tot_val, 1.0)
+                total = cls_c + loc_c + reg / n_dev
+                # psum-ed scalars are replicated — the global means
+                cls_g = jax.lax.psum(cls_c, DATA_AXIS)
+                loc_g = jax.lax.psum(loc_c, DATA_AXIS)
+                return total, (acc, reg, cls_g, loc_g)
+        else:
+            def lossf(p):
+                acc, reg = sums_fn(p, batch, key)
+                cls = acc["cls_w"] / jnp.maximum(acc["n_ep"], 1.0)
+                loc = acc["loc_w"] / jnp.maximum(acc["n_val"], 1.0)
+                total = (cls + loc + reg) / n_dev
+                cls_g = jax.lax.pmean(cls, DATA_AXIS)
+                loc_g = jax.lax.pmean(loc, DATA_AXIS)
+                return total, (acc, reg, cls_g, loc_g)
+
+        (_, (acc, reg, cls_g, loc_g)), grads = jax.value_and_grad(
+            lossf, has_aux=True
+        )(params)
+        aux = _union_aux(acc, reg, cls_g, loc_g)
+        out = {}
+        bn_stats = aux.pop("bn_stats", None)
+        if bn_stats is not None:
+            out["bn_stats"] = jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(v, DATA_AXIS), bn_stats
+            )
+        metric_keys = (
+            ("confusion", "pr_pos_hist", "pr_neg_hist")
+            if with_metrics else ()
+        )
+        for k, v in aux.items():
+            if k in _SCALAR_KEYS:
+                out[k] = v  # already the global value (replicated)
+            elif k in metric_keys:
+                out[k] = jax.lax.psum(v, DATA_AXIS)
+            else:
+                out[k] = jnp.asarray(v)[None]  # keep per-device values
+        return grads, out
+
     if graph_builder is not None:
         # raw batch pytree: every leaf carries a leading device axis
         # (prefix spec broadcasts over the pytree like vmap in_axes)
@@ -276,7 +505,7 @@ def make_train_step(
         )
 
     sharded_grads = shard_map(
-        _spmd_grads,
+        _spmd_grads_multi if multi else _spmd_grads,
         mesh=mesh,
         in_specs=(P(), P(), batch_specs),
         out_specs=(P(), aux_specs),

@@ -30,6 +30,16 @@ from pointgnn_tpu.train import summary
 from pointgnn_tpu.train.pipeline import DataProvider, FetchSpec
 
 
+def _all_norms_none(config: Dict) -> bool:
+    """True when every MLP normalization in the layer configs is NONE
+    (the slab/fold fast paths apply — all 7 shipped reference configs)."""
+    for lc in config["model_kwargs"]["layer_configs"]:
+        for key, val in lc.get("kwargs", {}).items():
+            if key.endswith("_normalization_type") and val != "NONE":
+                return False
+    return True
+
+
 def loss_config(config: Dict) -> Dict:
     """Map the reference 'loss' config block onto model.loss kwargs."""
     loss = dict(config.get("loss", {}))
@@ -65,7 +75,23 @@ class Trainer:
         # the jitted step (train/device_pipeline.py); with slab (auto on
         # TPU) the step trains on the exact uncapped radius graph via
         # the custom-VJP slab kernels — no edge lists at all.
-        self.device_graph = bool(train_config.get("device_graph", False))
+        # device_graph routing: explicit train_config value wins; when
+        # unset, NONE-normalization configs (all 7 shipped ones)
+        # auto-route to the on-device pipeline — the host edge-list
+        # path is a parity/debug path (~10x slower per frame on TPU,
+        # BENCH_r03) and stays available with "device_graph": false.
+        dg = train_config.get("device_graph")
+        if dg is None:
+            dg = _all_norms_none(config)
+            if dg:
+                print(
+                    "device_graph training auto-enabled (NONE-"
+                    "normalization config): graph construction + label "
+                    "assignment + box encoding run inside the jitted "
+                    "step; set \"device_graph\": false in the "
+                    "train_config for the host edge-list path"
+                )
+        self.device_graph = bool(dg)
         self.device_spec = None
         self.graph_builder = None
         model_extra = {}
@@ -85,6 +111,10 @@ class Trainer:
             # graph semantics (capped edge lists vs exact uncapped
             # slab neighborhoods) than the model trained on.
             self.train_config = dict(train_config)
+            # freeze the (possibly auto-)resolved routing too: the
+            # continuous evaluator reads it from the saved train_config
+            # and must see the same pipeline the checkpoint trained on
+            self.train_config["device_graph"] = True
             self.train_config["device_graph_slab"] = bool(
                 dspec.slab_level1
             )
@@ -128,15 +158,11 @@ class Trainer:
             % (self.batch_size, self.n_devices)
         )
         self.frames_per_device = self.batch_size // self.n_devices
-        if self.device_graph and self.frames_per_device != 1:
-            raise ValueError(
-                "device_graph training packs one frame per device "
-                "(batch_size must equal the device count); host-graph "
-                "training supports frames_per_device > 1 via graph "
-                "union, and device_graph reaches larger effective "
-                "batches with gradient accumulation (is_pseudo_batch "
-                "+ pseudo_batch_factor, the reference's mechanism)"
-            )
+        # device_graph batching: frames_per_device > 1 scans graph
+        # build + loss over stacked frames inside the step with the
+        # reference's graph-union endpoint weighting
+        # (parallel/step.make_union_sums_fn) — so batch_size semantics
+        # match the host-graph path (reference train.py:135-171).
 
         self.optimizer, self.lr_schedule = opt_lib.build_from_train_config(
             train_config
@@ -162,6 +188,9 @@ class Trainer:
             graph_builder=self.graph_builder,
             graph_rng_seed=seed if graph_rnd else None,
             bn_decay=train_config.get("bn_decay", 0.999),
+            frames_per_device=(
+                self.frames_per_device if self.device_graph else 1
+            ),
         )
         params = self.model.init(
             jax.random.PRNGKey(seed),
@@ -236,7 +265,11 @@ class Trainer:
     def _device_batch(self, frame_indices):
         frames = self.provider.provide_batch(frame_indices)
         if self.device_graph:
-            return frames[0]  # one frame per device (asserted in init)
+            if self.frames_per_device == 1:
+                return frames[0]
+            from pointgnn_tpu.train import device_pipeline as dpipe
+
+            return dpipe.stack_frames(frames)  # leading [F] axis
         return pad.batch_and_pad(frames, self.capacity, self._rng)
 
     def train_batch(self, frame_indices) -> Dict:

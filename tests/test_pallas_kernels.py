@@ -836,3 +836,74 @@ def test_slab_train_halo2_grads_match_halo1():
         )
     for a, b in zip(grads[1], grads[2]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_slab_edge_max_sub_block_skip_matches_unsplit():
+    """The sub-block MLP skip (sub > 0) must be BITWISE equal to the
+    unconditional block MLP (sub=0): matmuls are row-independent and a
+    skipped sub-block contributes only -inf rows.  (The skip is OFF by
+    default — measured slower on v5e, docs/PERF_NOTES.md round 4 — but
+    the mechanism must stay correct for sparser workloads.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import (
+        slab_edge_max,
+        slab_edge_max_train,
+    )
+
+    rng = np.random.default_rng(11)
+    K, H, r = 256, 32, 1.5
+    g = 11
+    xyz = np.stack(
+        [rng.uniform(0, 16, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 16, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[240:] = False
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = np.where(valid, cx * g + cz, g * g)
+    order = np.argsort(cell, kind="stable")
+    xyz_s, cell_s, valid_s = xyz[order], cell[order], valid[order]
+    offsets = np.searchsorted(cell_s, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)[order]
+    B = rng.normal(size=(K, H)).astype(np.float32)[order]
+    src4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+    src4[~valid_s] = 1e6
+    ctr4 = np.concatenate([xyz_s, np.zeros((K, 1), np.float32)], 1)
+    ctr4[~valid_s] = -1e6
+    weights = (
+        (rng.normal(size=(H, 64)) * 0.1).astype(np.float32),
+        (rng.normal(size=(64,)) * 0.1).astype(np.float32),
+    )
+    args = (
+        jnp.asarray(A), jnp.asarray(src4), jnp.asarray(B),
+        jnp.asarray(ctr4), jnp.asarray(offsets),
+        jnp.asarray(cell_s.astype(np.int32)), tuple(map(jnp.asarray, weights)),
+    )
+    kw = dict(grid_g=g, radius=r, block_centers=16, tile=16,
+              interpret=True)
+    base = np.asarray(slab_edge_max(*args, **kw, sub=0))
+    for sub in (4, 8, 16):
+        out = np.asarray(slab_edge_max(*args, **kw, sub=sub))
+        np.testing.assert_array_equal(base, out)
+
+    def gradsum(sub):
+        def f(ta, tb, ws):
+            y = slab_edge_max_train(
+                ta, args[1], tb, args[3], args[4], args[5], ws,
+                **kw, sub=sub,
+            )
+            return jnp.sum(y ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(args[0], args[2], args[6])
+
+    g0 = gradsum(0)
+    g8 = gradsum(8)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g8)):
+        # sub-splitting reassociates the f32 row sums of dw/da —
+        # tolerance, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )

@@ -148,6 +148,135 @@ def test_lr_schedule_staircase():
     assert float(lr(250)) == pytest.approx(0.00125)
 
 
+def _device_frames(n, spec, cfg):
+    from pointgnn_tpu.data.labels import LABEL_METHODS
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.infer import select_input_features
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.utils.synthetic import synthetic_lidar_frame
+
+    label_map, num_classes = LABEL_METHODS[cfg["label_method"]]
+    frames = []
+    for i in range(n):
+        points, labels = synthetic_lidar_frame(
+            seed=i, n_beams=8, points_per_beam=80
+        )
+        feats = select_input_features(points.attr, cfg["input_features"])
+        packed = db.pack_points(points.xyz, feats, spec.num_points)
+        plabels = dpipe.dl.pack_frame_labels(labels, label_map, num_classes)
+        frames.append(dpipe.DeviceFrame(packed, plabels))
+    return frames
+
+
+def _device_setup():
+    from pointgnn_tpu.graph import device_builder as db
+    from pointgnn_tpu.model.pointgnn import get_model
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.train.trainer import loss_config
+
+    cfg = configs.model_config("Car", T=1)
+    spec = db.spec_from_config(
+        cfg, num_points=2048, num_keypoints=512, runtime=False,
+        cell_caps=(16, 32), per_center_caps=(16, 64),
+    )
+    model = get_model(cfg["model_name"])(
+        num_classes=cfg["num_classes"], box_encoding_len=7,
+        mode="train", edge_sentinel="src", edges_sorted=False,
+        **cfg["model_kwargs"],
+    )
+    builder = dpipe.make_graph_builder(spec, model.output_graph_level, cfg)
+    params = model.init(jax.random.PRNGKey(0), input_dim=1)
+    opt, _ = optimizers.build_from_train_config(
+        {"initial_lr": 0.1, "decay_step": 1000, "decay_factor": 0.1,
+         "optimizer": "sgd"}
+    )
+    return cfg, spec, model, builder, params, opt
+
+
+def test_multi_frame_union_matches_manual_weighting():
+    """frames_per_device > 1 must combine per-frame losses with the
+    reference's graph-union endpoint weighting (train.py:135-171):
+    cls = sum_f cls_f*n_ep_f / sum_f n_ep_f, loc over n_val_f."""
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.train.trainer import loss_config
+
+    cfg, spec, model, builder, params, opt = _device_setup()
+    frames = _device_frames(3, spec, cfg)
+    lcfg = loss_config(cfg)
+
+    # manual per-frame losses through the F=1 loss path
+    base_loss = pstep.make_loss_fn(model, lcfg)
+    cls_w = loc_w = n_ep_t = n_val_t = 0.0
+    for f in frames:
+        graph = builder(f)
+        _, d = base_loss(params, graph)
+        n_ep = float(np.sum(np.asarray(
+            graph.vertex_mask[model.output_graph_level]
+        )))
+        n_val = float(np.sum(np.asarray(graph.valid_boxes)))
+        cls_w += float(d["cls_loss"]) * n_ep
+        loc_w += float(d["loc_loss"]) * n_val
+        n_ep_t += n_ep
+        n_val_t += n_val
+    want_cls = cls_w / max(n_ep_t, 1.0)
+    want_loc = loc_w / max(n_val_t, 1.0)
+
+    state = pstep.init_train_state(params, opt)
+    step_fn = pstep.make_train_step(
+        model, opt, lcfg, mesh=None, graph_builder=builder,
+        frames_per_device=3,
+    )
+    batch = dpipe.stack_frames(frames)
+    state2, aux = step_fn(state, batch)
+    np.testing.assert_allclose(float(aux["cls_loss"]), want_cls, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["loc_loss"]), want_loc, rtol=1e-5)
+    assert int(np.asarray(aux["num_endpoint"]).sum()) == int(n_ep_t)
+    assert int(state2.step) == 1
+
+
+def test_multi_frame_dp_matches_single_device_union():
+    """2 devices x 2 frames with unify_copies must equal one device
+    seeing all 4 frames (the global graph union) — losses AND updated
+    params (deterministic graph builds: no rng seed)."""
+    from pointgnn_tpu.train import device_pipeline as dpipe
+    from pointgnn_tpu.train.trainer import loss_config
+
+    cfg, spec, model, builder, params, opt = _device_setup()
+    frames = _device_frames(4, spec, cfg)
+    lcfg = loss_config(cfg)
+
+    single = pstep.make_train_step(
+        model, opt, lcfg, mesh=None, graph_builder=builder,
+        frames_per_device=4,
+    )
+    s1, aux1 = single(
+        pstep.init_train_state(params, opt), dpipe.stack_frames(frames)
+    )
+
+    mesh = pmesh.make_mesh(2)
+    dp = pstep.make_train_step(
+        model, opt, lcfg, mesh=mesh, graph_builder=builder,
+        frames_per_device=2, unify_copies=True,
+    )
+    per_dev = [dpipe.stack_frames(frames[:2]), dpipe.stack_frames(frames[2:])]
+    stacked = pmesh.shard_batch(mesh, pmesh.stack_graphs(per_dev))
+    s2, aux2 = dp(pstep.init_train_state(params, opt), stacked)
+
+    np.testing.assert_allclose(
+        float(aux1["cls_loss"]), float(aux2["cls_loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(aux1["loc_loss"]), float(aux2["loc_loss"]), rtol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        )
+
+
 def test_stream_sharded_over_mesh():
     """stream(mesh=...) shards the serving batch over the device mesh
     (pure-DP inference) and yields the same results as single-device

@@ -173,6 +173,7 @@ def test_trainer_short_run(fetch_spec, tmp_path):
     train_config.update(
         {
             "train_dir": str(tmp_path / "train_dir"),
+            "device_graph": False,  # this test covers the host path
             "batch_size": 4,
             "NUM_GPU": 2,
             "num_load_dataset_workers": 0,
@@ -218,6 +219,7 @@ def test_trainer_single_device(fetch_spec, tmp_path):
     train_config.update(
         {
             "train_dir": str(tmp_path / "train_dir_1dev"),
+            "device_graph": False,  # host path
             "batch_size": 2,
             "NUM_GPU": 1,
             "num_load_dataset_workers": 0,
@@ -249,6 +251,7 @@ def test_trainer_profiler_trace(fetch_spec, tmp_path):
     train_config.update(
         {
             "train_dir": str(tmp_path / "train_dir"),
+            "device_graph": False,  # this test covers the host path
             "batch_size": 4,
             "NUM_GPU": 2,
             "num_load_dataset_workers": 0,
@@ -553,6 +556,54 @@ def test_trainer_device_graph_mesh_resume_determinism(fetch_spec, tmp_path):
     assert len({v for _, v in rec_a}) > 1, rec_a
     for a, b in zip(params_a, params_b):
         np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_auto_routes_none_norm_to_device_graph(fetch_spec, tmp_path):
+    """NONE-normalization configs (all 7 shipped ones) auto-route to
+    device_graph training unless the train_config says otherwise, and
+    the resolved decision is frozen into the train_config saved beside
+    checkpoints (the continuous evaluator reads it from there)."""
+    config = fetch_spec.config
+    base = dict(fetch_spec.train_config)
+    base.update(
+        {
+            "train_dir": str(tmp_path / "train_dir_auto"),
+            "batch_size": 1,
+            "NUM_GPU": 1,
+            "num_load_dataset_workers": 0,
+            "device_graph_spec": _small_device_spec(),
+        }
+    )
+    assert "device_graph" not in base
+    tr = Trainer(
+        config, base, fetch_spec._replace(train_config=base), num_frames=4
+    )
+    try:
+        assert tr.device_graph is True
+        assert tr.train_config["device_graph"] is True
+    finally:
+        tr.close()
+    # explicit opt-out wins
+    off = dict(base, device_graph=False,
+               train_dir=str(tmp_path / "train_dir_auto_off"))
+    tr2 = Trainer(
+        config, off, fetch_spec._replace(train_config=off), num_frames=4,
+        capacity=SMALL_CAP,
+    )
+    try:
+        assert tr2.device_graph is False
+    finally:
+        tr2.close()
+    # a non-NONE normalization keeps the host path by default
+    import copy
+
+    bn_cfg = copy.deepcopy(config)
+    bn_cfg["model_kwargs"]["layer_configs"][0]["kwargs"][
+        "point_MLP_normalization_type"
+    ] = "batch_norm"
+    from pointgnn_tpu.train.trainer import _all_norms_none
+
+    assert _all_norms_none(config) and not _all_norms_none(bn_cfg)
 
 
 def test_resolve_device_setup_clears_preset_slab_flags():

@@ -139,8 +139,9 @@ def main():
             "data_aug_configs": [],
         }
     )
-    if args.device_graph:
-        train_config["device_graph"] = True
+    # pin explicitly (NONE-norm configs otherwise auto-route to the
+    # device pipeline — this smoke exercises each mode deliberately)
+    train_config["device_graph"] = bool(args.device_graph)
     cap = GraphCapacity(
         vertices=(32768, 12288, 12288), edges=(131072, 524288)
     )
