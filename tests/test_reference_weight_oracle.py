@@ -55,5 +55,9 @@ def test_real_weight_oracle(name):
     # 11-point-AP smoke cannot provide (PERF_NOTES knife-edge).
     assert rep["detections_mask_mismatch"] == 0, rep
     assert rep["detections_max_box_diff"] <= 1e-3, rep
+    # after the full box-merge NMS (run.py:294-301 default path) the
+    # SURVIVOR sets must match too — same boxes out the KITTI writer
+    assert rep["detections_nms_survivor_mismatch"] == 0, rep
+    assert rep["detections_nms_max_box_diff"] <= 1e-3, rep
     # at least a few hundred output vertices per frame, else vacuous
     assert min(rep["num_output_vertices"]) > 100, rep

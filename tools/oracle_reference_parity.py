@@ -236,15 +236,23 @@ def jax_forward(config, tf_vars, frames):
 
 
 def detection_agreement(config, tf_out, jx_out, frames):
-    """Decode both sides per run.py:264-291 and compare survivors.
+    """Decode both sides per run.py:264-291, run the full box-merge NMS
+    (run.py:294-301 default path), and compare survivors.
 
-    Returns (n_frames_compared, n_mismatched_masks, max_box_diff over
-    frames where the surviving sets match).
+    Returns a dict: pre-NMS mask mismatches and max box diff, plus
+    NMS-survivor-level agreement (count mismatches, max survivor box
+    diff, max survivor score diff).  The NMS comparison is the
+    de-noised acceptance signal the 11-point AP can't give on small
+    synthetic sets (docs/PERF_NOTES.md "knife edge"): identical
+    surviving boxes within ~1e-3 means the two implementations would
+    emit the same KITTI detections.
     """
     from pointgnn_tpu.model.encodings import (
         get_box_decoding_fn,
         get_encoding_len,
     )
+    from pointgnn_tpu.postprocess import iou as iou_lib
+    from pointgnn_tpu.postprocess import nms as nms_lib
 
     num_classes = config["num_classes"]
     enc_len = get_encoding_len(config["box_encoding_method"])
@@ -252,6 +260,10 @@ def detection_agreement(config, tf_out, jx_out, frames):
     label_map = {"Background": 0, "Car": 1, "DontCare": 3}
     mask_mismatch = 0
     max_box_diff = 0.0
+    nms_mismatch = 0
+    nms_max_box_diff = 0.0
+    nms_max_score_diff = 0.0
+    nms_fn = nms_lib.get_nms_fn(True, True)  # merge + rescore default
     for f, a, b in zip(frames, tf_out, jx_out):
         centers = f.vertex_coord_list[-1]
         dets = []
@@ -268,7 +280,22 @@ def detection_agreement(config, tf_out, jx_out, frames):
                 & (labels < num_classes - 1)
                 & (probs > 1.0 / num_classes)
             )
-            dets.append((mask, decoded[mask, 0]))
+            sel_labels = labels[mask].copy()
+            # fold vertical classes into horizontal (run.py:268-271)
+            for v in range(2, num_classes - 1, 2):
+                sel_labels[sel_labels == v] = v - 1
+            cls_l, boxes_3d, scores, _ = nms_fn(
+                sel_labels,
+                decoded[mask, 0].astype(np.float64),
+                probs[mask].astype(np.float64),
+                overlapped_fn=iou_lib.overlapped_boxes_3d,
+                overlapped_thres=config["nms_overlapped_thres"],
+                appr_factor=100.0,
+                top_k=-1,
+            )
+            dets.append(
+                (mask, decoded[mask, 0], cls_l, boxes_3d, scores)
+            )
         if not np.array_equal(dets[0][0], dets[1][0]):
             mask_mismatch += 1
         elif dets[0][1].size:
@@ -276,7 +303,33 @@ def detection_agreement(config, tf_out, jx_out, frames):
                 max_box_diff,
                 float(np.max(np.abs(dets[0][1] - dets[1][1]))),
             )
-    return len(frames), mask_mismatch, max_box_diff
+        # NMS survivors: same count + same classes -> compare boxes
+        if (
+            len(dets[0][3]) != len(dets[1][3])
+            or not np.array_equal(dets[0][2], dets[1][2])
+        ):
+            nms_mismatch += 1
+        elif len(dets[0][3]):
+            nms_max_box_diff = max(
+                nms_max_box_diff,
+                float(np.max(np.abs(
+                    np.asarray(dets[0][3]) - np.asarray(dets[1][3])
+                ))),
+            )
+            nms_max_score_diff = max(
+                nms_max_score_diff,
+                float(np.max(np.abs(
+                    np.asarray(dets[0][4]) - np.asarray(dets[1][4])
+                ))),
+            )
+    return {
+        "frames": len(frames),
+        "mask_mismatch": mask_mismatch,
+        "max_box_diff": max_box_diff,
+        "nms_survivor_mismatch": nms_mismatch,
+        "nms_max_box_diff": nms_max_box_diff,
+        "nms_max_score_diff": nms_max_score_diff,
+    }
 
 
 def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
@@ -311,10 +364,15 @@ def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
         )
         report["max_abs_diff_%s" % key] = max(diffs)
         report["output_scale_%s" % key] = scale
-    n, mism, boxdiff = detection_agreement(config, tf_out, jx_out, frames)
-    report["detections_frames"] = n
-    report["detections_mask_mismatch"] = mism
-    report["detections_max_box_diff"] = boxdiff
+    agree = detection_agreement(config, tf_out, jx_out, frames)
+    report["detections_frames"] = agree["frames"]
+    report["detections_mask_mismatch"] = agree["mask_mismatch"]
+    report["detections_max_box_diff"] = agree["max_box_diff"]
+    report["detections_nms_survivor_mismatch"] = agree[
+        "nms_survivor_mismatch"
+    ]
+    report["detections_nms_max_box_diff"] = agree["nms_max_box_diff"]
+    report["detections_nms_max_score_diff"] = agree["nms_max_score_diff"]
     return report
 
 
@@ -354,6 +412,8 @@ def main():
             rep["max_abs_diff_logits"] <= args.tol
             and rep["max_abs_diff_pred_box"] <= args.tol
             and rep["detections_mask_mismatch"] == 0
+            and rep["detections_nms_survivor_mismatch"] == 0
+            and rep["detections_nms_max_box_diff"] <= 1e-3
         )
         rep["pass"] = bool(ok)
         rep["tol"] = args.tol

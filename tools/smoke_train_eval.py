@@ -24,6 +24,41 @@ sys.path.insert(
 import numpy as np
 
 
+def run_oracle_gate():
+    """Real-weight T0/T1 oracle as a smoke gate (detection-level
+    agreement after NMS; see tools/oracle_reference_parity.py)."""
+    try:
+        import tensorflow  # noqa: F401
+    except Exception as exc:
+        print("oracle: SKIPPED (tensorflow unavailable: %r)" % (exc,))
+        return True
+    from tools import oracle_reference_parity as orp
+
+    ok = True
+    for name in orp.DEFAULT_CHECKPOINTS:
+        ckpt = os.path.join(orp.REFERENCE_CKPTS, name)
+        if not os.path.isdir(ckpt):
+            print("oracle: SKIPPED %s (not in mount)" % ckpt)
+            continue
+        rep = orp.run_oracle(name, num_frames=4, seed=0)
+        good = (
+            rep["max_abs_diff_logits"] <= 1e-4
+            and rep["max_abs_diff_pred_box"] <= 1e-4
+            and rep["detections_mask_mismatch"] == 0
+            and rep["detections_nms_survivor_mismatch"] == 0
+            and rep["detections_nms_max_box_diff"] <= 1e-3
+        )
+        print("oracle %s: %s (logits %.2e, box %.2e, nms survivors "
+              "mismatch %d, nms box diff %.2e)" % (
+                  name, "PASS" if good else "FAIL",
+                  rep["max_abs_diff_logits"],
+                  rep["max_abs_diff_pred_box"],
+                  rep["detections_nms_survivor_mismatch"],
+                  rep["detections_nms_max_box_diff"]))
+        ok &= good
+    return ok
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("workdir", nargs="?", default="")
@@ -51,6 +86,16 @@ def main():
                              "moderate AP is below (either path); "
                              "report-only by default — 3D-moderate "
                              "sits on an IoU knife edge (PERF_NOTES)")
+    parser.add_argument("--oracle", action="store_true",
+                        help="additionally run the real-weight parity "
+                             "oracle (tools/oracle_reference_parity) "
+                             "against the reference's shipped "
+                             "car_auto_T0/T1 checkpoints and gate on "
+                             "NMS-survivor-level agreement — the "
+                             "de-noised acceptance signal next to the "
+                             "knife-edge 11-point 3D AP "
+                             "(docs/PERF_NOTES.md). Skipped with a "
+                             "warning when tensorflow is unavailable.")
     parser.add_argument("--device_graph", action="store_true",
                         help="train through the on-device pipeline "
                              "(graph build + labels + encoding inside "
@@ -240,6 +285,8 @@ def main():
         print("FAIL: BEV %.2f below --min_bev_ap %.2f"
               % (bev, args.min_bev_ap))
         failed = True
+    if args.oracle:
+        failed |= not run_oracle_gate()
     if failed:
         sys.exit(1)
 
