@@ -24,39 +24,49 @@ sys.path.insert(
 import numpy as np
 
 
-def run_oracle_gate():
+def run_oracle_gate(workdir):
     """Real-weight T0/T1 oracle as a smoke gate (detection-level
-    agreement after NMS; see tools/oracle_reference_parity.py)."""
-    try:
-        import tensorflow  # noqa: F401
-    except Exception as exc:
-        print("oracle: SKIPPED (tensorflow unavailable: %r)" % (exc,))
-        return True
-    from tools import oracle_reference_parity as orp
+    agreement after NMS; see tools/oracle_reference_parity.py).
 
-    ok = True
-    for name in orp.DEFAULT_CHECKPOINTS:
-        ckpt = os.path.join(orp.REFERENCE_CKPTS, name)
-        if not os.path.isdir(ckpt):
-            print("oracle: SKIPPED %s (not in mount)" % ckpt)
-            continue
-        rep = orp.run_oracle(name, num_frames=4, seed=0)
-        good = (
-            rep["max_abs_diff_logits"] <= 1e-4
-            and rep["max_abs_diff_pred_box"] <= 1e-4
-            and rep["detections_mask_mismatch"] == 0
-            and rep["detections_nms_survivor_mismatch"] == 0
-            and rep["detections_nms_max_box_diff"] <= 1e-3
-        )
-        print("oracle %s: %s (logits %.2e, box %.2e, nms survivors "
-              "mismatch %d, nms box diff %.2e)" % (
-                  name, "PASS" if good else "FAIL",
-                  rep["max_abs_diff_logits"],
-                  rep["max_abs_diff_pred_box"],
-                  rep["detections_nms_survivor_mismatch"],
-                  rep["detections_nms_max_box_diff"]))
-        ok &= good
-    return ok
+    Runs in a SUBPROCESS: the oracle's 1e-4 f32 gate must execute
+    CPU-vs-CPU (this smoke's process already initialized JAX on the
+    TPU, where f32 matmuls pick up ~0.7% bf16 MXU error — the
+    docs/PERF_NOTES.md oracle trap), and the tool's main() forces
+    JAX_PLATFORMS=cpu before touching jax."""
+    import json
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "oracle_reference_parity.py")
+    out_json = os.path.join(workdir, "oracle_parity.json")
+    proc = subprocess.run(
+        [sys.executable, tool, "--frames", "4", "--out", out_json],
+        capture_output=True, text=True, timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.strip().splitlines()[-12:])
+    print(tail)
+    if proc.returncode != 0 and not os.path.exists(out_json):
+        # distinguish "environment lacks TF / checkpoints" from a
+        # genuine numeric failure (which still writes the report)
+        if "tensorflow" in proc.stderr.lower() and (
+            "No module" in proc.stderr or "ImportError" in proc.stderr
+        ):
+            print("oracle: SKIPPED (tensorflow unavailable)")
+            return True
+        print("oracle: FAIL (tool crashed)\n%s" % proc.stderr[-2000:])
+        return False
+    try:
+        reports = json.load(open(out_json))["oracle"]
+    except Exception as exc:
+        print("oracle: FAIL (unreadable report: %r)" % (exc,))
+        return False
+    if not reports:
+        print("oracle: SKIPPED (no reference weight blobs in mount)")
+        return True
+    ok = all(rep.get("pass") for rep in reports)
+    print("oracle gate: %s (%d checkpoints)"
+          % ("PASS" if ok else "FAIL", len(reports)))
+    return bool(ok)
 
 
 def main():
@@ -286,7 +296,7 @@ def main():
               % (bev, args.min_bev_ap))
         failed = True
     if args.oracle:
-        failed |= not run_oracle_gate()
+        failed |= not run_oracle_gate(work)
     if failed:
         sys.exit(1)
 
