@@ -273,7 +273,16 @@ class PointGNN:
                     )
                     return out, stats
 
-            if self.remat:
+            # Slab-kernel layers skip remat: their custom VJP already
+            # bounds residual memory (it saves only the layer INPUTS
+            # and recomputes the walked-window forward inside the bwd
+            # kernel), so jax.checkpoint would add a full extra forward
+            # recompute to the backward for no HBM win — measured
+            # ~17 ms of the 75 ms device train step
+            # (docs/PERF_NOTES.md round 4).  Edge-list layers keep it:
+            # their [E, H] materialized edge activations are what remat
+            # + chunked streaming exist to keep out of HBM.
+            if self.remat and "slab" not in kw:
                 run = jax.checkpoint(run)
             features, layer_stats = run(p, features)
             all_stats.update(layer_stats)

@@ -672,9 +672,11 @@ def test_psp_slab_train_grads_match_edge_path(rng):
 
 
 def test_slab_train_under_jit_and_remat(rng):
-    """The custom VJP must survive jax.jit + jax.checkpoint (the
-    production train step wraps every layer in remat) — closing over
-    tracers inside the custom_vjp leaked across this boundary once."""
+    """The custom VJP must survive jax.jit + jax.checkpoint — closing
+    over tracers inside the custom_vjp leaked across this boundary
+    once.  (The production step no longer remats slab layers, but
+    user code may wrap the model in jax.checkpoint wholesale, so the
+    combination stays supported.)"""
     import jax
     import jax.numpy as jnp
 
