@@ -292,5 +292,10 @@ def tpu_settings(name_or_label: str = "Car") -> Dict:
         "frame_capacity": cap,
         "runtime_capacity": runtime_cap,
         "frames_per_device": 2,  # reference: batch 4 over 2 GPUs
-        "compute_dtype": None,   # None = f32 params, bf16 MXU (XLA default)
+        # device-graph training compute precision (consumed by
+        # train.device_pipeline.resolve_device_setup).  None = f32:
+        # bf16 measured NEUTRAL for the slab train step at KITTI
+        # density (DMA/fixed-cost-bound, docs/PERF_NOTES.md round 4),
+        # so f32 reference numerics ride for free.
+        "compute_dtype": None,
     }

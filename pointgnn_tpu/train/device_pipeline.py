@@ -195,4 +195,11 @@ def resolve_device_setup(config, spec=None, slab="auto"):
     if slab:
         model_extra["slab_level1"] = db.slab_kernel_wiring(dspec.level1)
         model_extra["slab_level0"] = db.slab_kernel_wiring(dspec.level0)
+    # tpu_settings' compute_dtype (default None = f32; measured NEUTRAL
+    # for the slab train step — the kernels are DMA/fixed-cost-bound at
+    # capped-graph density, docs/PERF_NOTES.md round 4).  An explicit
+    # model_kwargs["compute_dtype"] in the config wins.
+    cd = tpu.get("compute_dtype")
+    if cd and "compute_dtype" not in config.get("model_kwargs", {}):
+        model_extra["compute_dtype"] = cd
     return dspec, model_extra

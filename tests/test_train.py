@@ -626,6 +626,35 @@ def test_resolve_device_setup_clears_preset_slab_flags():
     assert extra_off["edge_sentinel"] == "src"
 
 
+def test_resolve_device_setup_consumes_compute_dtype(monkeypatch):
+    """tpu_settings' compute_dtype flows into the model wiring; an
+    explicit model_kwargs["compute_dtype"] in the config wins."""
+    from pointgnn_tpu.train import device_pipeline as dpipe
+
+    config = configs.model_config("Car", T=1)
+    base = configs.tpu_settings("Car")
+    monkeypatch.setattr(
+        configs, "tpu_settings",
+        lambda name: dict(base, compute_dtype="bfloat16"),
+    )
+    _, extra = dpipe.resolve_device_setup(config, slab=True)
+    assert extra["compute_dtype"] == "bfloat16"
+    # default (None) adds nothing
+    monkeypatch.setattr(configs, "tpu_settings", lambda name: base)
+    _, extra = dpipe.resolve_device_setup(config, slab=True)
+    assert "compute_dtype" not in extra
+    # explicit model_kwargs wins: resolve must not duplicate the kwarg
+    monkeypatch.setattr(
+        configs, "tpu_settings",
+        lambda name: dict(base, compute_dtype="bfloat16"),
+    )
+    cfg2 = dict(config, model_kwargs=dict(
+        config["model_kwargs"], compute_dtype="float32"
+    ))
+    _, extra = dpipe.resolve_device_setup(cfg2, slab=True)
+    assert "compute_dtype" not in extra
+
+
 def test_trainer_freezes_resolved_device_setup(fetch_spec, tmp_path):
     """'auto' slab resolves from the TRAINING process's backend; the
     trainer must freeze the RESOLVED decision (and the resolved spec)
