@@ -1,18 +1,28 @@
-"""Real-weight parity oracle: the reference's trained checkpoints run
-through its OWN restored TF graph vs this framework's converted-JAX
-forward on identical graph tensors.
+"""Parity oracles vs the reference's own TF graphs.
 
-This is the strongest acceptance test available without real KITTI
-data (VERDICT round 3, missing #1): the reference's deliverable is its
-trained checkpoints (/root/reference/run.py:199-201 restore,
-:252-260 the sess.run contract), and two of them — car_auto_T0_train
-and car_auto_T1_train — ship their weight blobs in this mount.
+Real-weight oracle: the reference's trained checkpoints run through its
+OWN restored TF graph vs this framework's converted-JAX forward on
+identical graph tensors.  This is the strongest acceptance test
+available without real KITTI data (VERDICT round 3, missing #1): the
+reference's deliverable is its trained checkpoints
+(/root/reference/run.py:199-201 restore, :252-260 the sess.run
+contract), and two of them — car_auto_T0_train and car_auto_T1_train —
+ship their weight blobs in this mount.
+
+Architecture oracle: the other variants ship only their serialized
+``.meta`` graphs; the meta graph's own initializers draw fresh weights
+in-session, those exact values are converted, and both sides run the
+same weights — covering T2/T3 depth, ``auto_offset: false``, and the
+6-class ped_cyl heads end to end.  Gated on pre-NMS agreement only
+(untrained scores are near-tied, greedy NMS order-unstable — see the
+tool docstring).
 
 Runs whenever tensorflow imports and the reference checkpoints are
 present; skipped otherwise.  See tools/oracle_reference_parity.py for
 the mechanics and PARITY_r04.json for the committed full-size run.
 """
 
+import glob
 import os
 import sys
 
@@ -25,7 +35,6 @@ sys.path.insert(
     os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
 )
 from oracle_reference_parity import (  # noqa: E402
-    DEFAULT_CHECKPOINTS,
     REFERENCE_CKPTS,
     run_oracle,
 )
@@ -35,16 +44,25 @@ from oracle_reference_parity import (  # noqa: E402
 # catching any conversion or layer-semantics regression.
 TOL = 1e-4
 
+REAL_WEIGHT = ("car_auto_T0_train", "car_auto_T1_train")
+# distinct architectures beyond T0/T1: deepest stack, auto_offset off,
+# 6-class family (T2 adds no structure T3 doesn't cover)
+ARCH_ONLY = (
+    "car_auto_T3_train",
+    "car_fixed_T3_train",
+    "ped_cyl_auto_T3_trainval",
+)
 
-def _available(name):
-    return os.path.exists(
-        os.path.join(REFERENCE_CKPTS, name, "model-1400000.index")
+
+def _has(name, pattern):
+    return bool(
+        glob.glob(os.path.join(REFERENCE_CKPTS, name, pattern))
     )
 
 
-@pytest.mark.parametrize("name", DEFAULT_CHECKPOINTS)
+@pytest.mark.parametrize("name", REAL_WEIGHT)
 def test_real_weight_oracle(name):
-    if not _available(name):
+    if not _has(name, "model-*.data-*"):
         pytest.skip("reference checkpoint blobs not in this mount")
     rep = run_oracle(name, num_frames=2, seed=0)
     assert rep["max_abs_diff_logits"] <= TOL, rep
@@ -60,4 +78,17 @@ def test_real_weight_oracle(name):
     assert rep["detections_nms_survivor_mismatch"] == 0, rep
     assert rep["detections_nms_max_box_diff"] <= 1e-3, rep
     # at least a few hundred output vertices per frame, else vacuous
+    assert min(rep["num_output_vertices"]) > 100, rep
+
+
+@pytest.mark.parametrize("name", ARCH_ONLY)
+def test_architecture_oracle(name):
+    if not _has(name, "model-*.meta"):
+        pytest.skip("reference meta graph not in this mount")
+    rep = run_oracle(name, num_frames=2, seed=0, random_weights=True)
+    assert rep["weights"] == "random_init"
+    assert rep["max_abs_diff_logits"] <= TOL, rep
+    assert rep["max_abs_diff_pred_box"] <= TOL, rep
+    assert rep["detections_mask_mismatch"] == 0, rep
+    assert rep["detections_max_box_diff"] <= 1e-3, rep
     assert min(rep["num_output_vertices"]) > 100, rep

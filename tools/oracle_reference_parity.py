@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Real-weight numeric parity oracle vs the reference's trained models.
+"""Numeric parity oracle vs the reference's own TF graphs.
 
 The reference's deliverable is its trained checkpoints run through its
 own TF graph (/root/reference/run.py:199-201 restore, :252-260 the
@@ -8,6 +8,16 @@ checkpoints have their weight blobs present in this mount:
 
     /root/reference/checkpoints/car_auto_T0_train/model-1400000.*
     /root/reference/checkpoints/car_auto_T1_train/model-1400000.*
+
+The other five variants (T2, T3, T3_trainval, fixed_T3, ped_cyl) ship
+only their serialized ``.meta`` graphs; for those the tool runs a
+random-init ARCHITECTURE oracle instead: the meta graph's own
+initializers draw fresh weights in-session, those exact values are
+dumped and converted, and both sides run the same weights — covering
+the variant's structure (layer count, ``auto_offset`` off, 6-class
+heads) end to end.  Random-init runs gate on pre-NMS agreement only
+(untrained scores are near-tied, so the greedy merge-NMS's sort order
+is legitimately unstable at ~1e-7 output noise).
 
 This tool executes the strongest acceptance test available without real
 KITTI data: for each checkpoint it
@@ -51,7 +61,16 @@ sys.path.insert(
 import numpy as np
 
 REFERENCE_CKPTS = "/root/reference/checkpoints"
-DEFAULT_CHECKPOINTS = ("car_auto_T0_train", "car_auto_T1_train")
+# T0/T1 ship weight blobs (real-weight oracle); the rest ship only the
+# serialized meta graph and run as random-init ARCHITECTURE oracles
+DEFAULT_CHECKPOINTS = (
+    "car_auto_T0_train",
+    "car_auto_T1_train",
+    "car_auto_T2_train",
+    "car_auto_T3_train",
+    "car_fixed_T3_train",
+    "ped_cyl_auto_T3_trainval",
+)
 
 # tower-0 input signature, in placeholder creation order
 # (train.py:184-223): features, 3 coord levels, 2 edge lists,
@@ -152,8 +171,20 @@ def make_frames(config, num_frames, seed, num_points=2000):
     return frames
 
 
-def tf_forward(ckpt_dir, frames):
-    """Run the restored reference graph on each frame's tensors."""
+def tf_forward(ckpt_dir, frames, random_init=False):
+    """Run the reference graph on each frame's tensors.
+
+    ``random_init=True`` is the ARCHITECTURE oracle for checkpoints
+    whose ``.data`` blobs are absent from the mount (T2/T3/fixed/
+    ped_cyl ship only ``.meta`` + ``.index``): instead of restoring,
+    the meta graph's own initializers draw fresh weights, those exact
+    values are dumped from the live session and converted, and both
+    sides run the SAME weights — testing the full conversion + forward
+    for the variant's structure (layer count, auto_offset on/off,
+    6-class heads) without the trained values.  Returns
+    ``(outs, tf_vars_or_None)``; ``tf_vars`` is only dumped here in
+    random mode (restore mode reads the checkpoint, dump_variables).
+    """
     import tensorflow as tf
 
     tf1 = tf.compat.v1
@@ -166,9 +197,18 @@ def tf_forward(ckpt_dir, frames):
         )
     io = find_tower0_io(graph)
     outs = []
+    tf_vars = None
     sess_cfg = tf1.ConfigProto(allow_soft_placement=True)
     with tf1.Session(graph=graph, config=sess_cfg) as sess:
-        saver.restore(sess, prefix)
+        if random_init:
+            with graph.as_default():
+                sess.run(tf1.global_variables_initializer())
+                tf_vars = {
+                    v.op.name: np.asarray(sess.run(v))
+                    for v in tf1.global_variables()
+                }
+        else:
+            saver.restore(sess, prefix)
         for f in frames:
             feed = {io["features"]: f.features, io["is_training"]: False}
             for t, v in zip(io["coords"], f.vertex_coord_list):
@@ -183,7 +223,7 @@ def tf_forward(ckpt_dir, frames):
             outs.append(
                 {"logits": logits, "probs": probs, "pred_box": box}
             )
-    return outs
+    return outs, tf_vars
 
 
 def dump_variables(ckpt_dir):
@@ -258,7 +298,9 @@ def detection_agreement(config, tf_out, jx_out, frames):
     num_classes = config["num_classes"]
     enc_len = get_encoding_len(config["box_encoding_method"])
     decode = get_box_decoding_fn(config["box_encoding_method"])
-    label_map = {"Background": 0, "Car": 1, "DontCare": 3}
+    from pointgnn_tpu.data.labels import LABEL_METHODS
+
+    label_map = LABEL_METHODS[config.get("label_method", "Car")][0]
     mask_mismatch = 0
     max_box_diff = 0.0
     nms_mismatch = 0
@@ -333,19 +375,28 @@ def detection_agreement(config, tf_out, jx_out, frames):
     }
 
 
-def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
-    """Full oracle for one checkpoint dir name; returns a report dict."""
+def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS,
+               random_weights=False):
+    """Full oracle for one checkpoint dir name; returns a report dict.
+
+    ``random_weights=True`` runs the architecture oracle (see
+    tf_forward): the meta graph initializes fresh weights, which are
+    dumped and converted so both sides run identical values."""
     from pointgnn_tpu.utils.config_io import load_config
 
     ckpt_dir = os.path.join(ckpt_root, name)
     config = load_config(os.path.join(ckpt_dir, "config"))
     frames = make_frames(config, num_frames, seed)
-    tf_out = tf_forward(ckpt_dir, frames)
-    tf_vars = dump_variables(ckpt_dir)
+    tf_out, tf_vars = tf_forward(
+        ckpt_dir, frames, random_init=random_weights
+    )
+    if tf_vars is None:
+        tf_vars = dump_variables(ckpt_dir)
     jx_out, params = jax_forward(config, tf_vars, frames)
 
     report = {
         "checkpoint": ckpt_dir,
+        "weights": "random_init" if random_weights else "restored",
         "num_frames": num_frames,
         "seed": seed,
         "num_output_vertices": [
@@ -407,14 +458,19 @@ def main():
         print("== %s ==" % name)
         ckpt_dir = os.path.join(REFERENCE_CKPTS, name)
         blobs = glob.glob(os.path.join(ckpt_dir, "model-*.data-*"))
-        if not blobs:
-            # T2/T3/ped_cyl ship without their .data blobs (and other
-            # machines may lack the reference mount entirely): skip,
-            # don't fail — the gate is only meaningful where the
-            # weights exist
-            print("  SKIP (no weight blob under %s)" % ckpt_dir)
+        metas = glob.glob(os.path.join(ckpt_dir, "model-*.meta"))
+        if not blobs and not metas:
+            # other machines may lack the reference mount entirely:
+            # skip, don't fail — the gate is only meaningful where at
+            # least the serialized graph exists
+            print("  SKIP (no weight blob or meta graph under %s)"
+                  % ckpt_dir)
             continue
-        rep = run_oracle(name, args.frames, args.seed)
+        if not blobs:
+            print("  (no weight blob: random-init architecture oracle)")
+        rep = run_oracle(
+            name, args.frames, args.seed, random_weights=not blobs
+        )
         for k in sorted(rep):
             if k.startswith(("max_abs_diff", "output_scale", "detections")):
                 print("  %-28s %s" % (k, rep[k]))
@@ -422,9 +478,24 @@ def main():
             rep["max_abs_diff_logits"] <= args.tol
             and rep["max_abs_diff_pred_box"] <= args.tol
             and rep["detections_mask_mismatch"] == 0
-            and rep["detections_nms_survivor_mismatch"] == 0
-            and rep["detections_nms_max_box_diff"] <= 1e-3
+            and rep["detections_max_box_diff"] <= 1e-3
         )
+        if rep["weights"] == "restored":
+            ok = ok and (
+                rep["detections_nms_survivor_mismatch"] == 0
+                and rep["detections_nms_max_box_diff"] <= 1e-3
+            )
+        else:
+            # untrained weights give near-tied scores: the greedy
+            # merge-NMS's sort order flips on ~1e-7 output noise, so
+            # survivor sets can legitimately diverge (measured on
+            # ped_cyl: pre-NMS masks + boxes identical, survivors
+            # differ).  The architecture gate stops at pre-NMS
+            # agreement; NMS fields stay in the report unguarded.
+            rep["nms_gate"] = (
+                "ungated: random-init scores are near-tied, greedy "
+                "NMS order-unstable"
+            )
         rep["pass"] = bool(ok)
         rep["tol"] = args.tol
         failed |= not ok
