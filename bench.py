@@ -183,8 +183,10 @@ def bench_train_step_device(cfg, frames_per_device=1):
     # sliver with ~47 valid keypoints — so earlier device-train numbers
     # measured a near-empty graph.
     frames = []
+    frame_pts = []
     for i in range(frames_per_device):
         pts, labels = synthetic_lidar_frame(seed=i, points_per_beam=380)
+        frame_pts.append(pts)
         feats = select_input_features(pts.attr, cfg["input_features"])
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
@@ -216,8 +218,7 @@ def bench_train_step_device(cfg, frames_per_device=1):
     mfu_err = None
     try:
         useful = 0.0
-        for i in range(frames_per_device):
-            fpts, _ = synthetic_lidar_frame(seed=i, points_per_beam=380)
+        for fpts in frame_pts:
             useful += slab_accounting(cfg, dspec, fpts)["useful_fwd_flops"]
         mfu = 100.0 * 3.0 * useful / step_s / V5E_PEAK_BF16
     except Exception as exc:  # surfaced as train_device_mfu_error
@@ -517,6 +518,42 @@ def main():
             )
     except Exception:
         pass
+    try:
+        # decompose the cold single-frame number: on the tunneled
+        # backend every synchronizing host<->device interaction pays a
+        # flat RPC latency (~33 ms put ack in the degraded chip state),
+        # which bounds the cold path from below regardless of kernel
+        # speed — stream() (the headline) pipelines these away.  The
+        # parts are measured in THIS process so they are comparable to
+        # single_frame_ms above (PERF_NOTES "single-frame floor").
+        from pointgnn_tpu.graph import device_builder as _db
+        from pointgnn_tpu.infer import select_input_features as _sif
+
+        packed = _db.pack_points(
+            frames[0].xyz,
+            _sif(frames[0].attr, pipe.input_features),
+            spec.num_points,
+        )
+        put_ts, comp_ts, read_ts = [], [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            xdev = _jax.device_put(packed)
+            _jax.block_until_ready(xdev)
+            put_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            dev_out = pipe._device_fn(pipe.params, xdev)
+            _jax.block_until_ready(dev_out)
+            comp_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _jax.device_get(dev_out)
+            read_ts.append(time.perf_counter() - t0)
+        out["single_frame_parts_ms"] = {
+            "h2d_put": round(float(np.median(put_ts)) * 1e3, 2),
+            "compute_sync": round(float(np.median(comp_ts)) * 1e3, 2),
+            "d2h_readback": round(float(np.median(read_ts)) * 1e3, 2),
+        }
+    except Exception as exc:
+        out["single_frame_parts_error"] = repr(exc)[:200]
     if os.environ.get("POINTGNN_BENCH_MFU", "1") != "0":
         try:
             acct = slab_accounting(cfg, spec, frames[0])

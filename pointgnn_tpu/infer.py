@@ -381,7 +381,9 @@ class InferencePipeline:
         """Stats + accumulate + warn for one frame — shared by
         run_frame and stream() so the batched serving path cannot lose
         keypoints silently."""
-        self._apply_overflow_stats(self._overflow_stats(points))
+        # stacklevel=4: user -> run_frame -> here -> _apply_overflow
+        # -> warnings.warn, so the warning points at the caller's line
+        self._apply_overflow_stats(self._overflow_stats(points), stacklevel=4)
 
     def run_frame(
         self, points: Points, rng: Optional[np.random.Generator] = None

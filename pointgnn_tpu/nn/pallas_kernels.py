@@ -821,6 +821,13 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         cp_in = pltpu.make_async_copy(
             da_out_ref.at[pl.ds(off, tile), :], da_tile, sems.at[2]
         )
+        if n_sub == 1:
+            # start the d_table_a read at tile entry: it is consumed
+            # only at the final read-modify-write, so the HBM->VMEM
+            # copy overlaps the distance/mask build AND the MLP
+            # recompute (the sub-block path below must gate the start
+            # on any_hit, which needs the mask first)
+            cp_in.start()
         rows = jax.lax.dot_general(
             unit3, a_full, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -850,8 +857,6 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             # read-modify-write, so it overlaps the whole recompute —
             # and only when some sub-block will actually contribute
             pl.when(any_hit)(lambda: cp_in.start())
-        else:
-            cp_in.start()
 
         a_cd = a_full[:, :h].astype(cdt)
         a_rep = pltpu.repeat(a_cd, sub_rows, axis=0)

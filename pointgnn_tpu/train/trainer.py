@@ -35,7 +35,11 @@ def _all_norms_none(config: Dict) -> bool:
     (the slab/fold fast paths apply — all 7 shipped reference configs)."""
     for lc in config["model_kwargs"]["layer_configs"]:
         for key, val in lc.get("kwargs", {}).items():
-            if key.endswith("_normalization_type") and val != "NONE":
+            norm_key = (
+                key == "normalization_type"
+                or key.endswith("_normalization_type")
+            )
+            if norm_key and val != "NONE":
                 return False
     return True
 
@@ -393,7 +397,11 @@ class Trainer:
                 profile_dir, profile_start, profile_steps, profiling,
             )
         finally:
-            input_executor.shutdown(wait=False, cancel_futures=True)
+            # wait=True: an in-flight prepare_batch finishes in bounded
+            # time, and joining it keeps provider/_rng access strictly
+            # sequential if the caller starts another train() right
+            # after (wait=False would let the old worker race it)
+            input_executor.shutdown(wait=True, cancel_futures=True)
 
     def _train_epochs(
         self, input_executor, start_epoch, max_epoch, max_steps,

@@ -162,11 +162,31 @@ def slab_walk_pairs_subblock(
     center_cell = np.asarray(center_cell, np.int64)
     cand_xyz = np.asarray(cand_xyz, np.float32)[:, :3]
     ctr_xyz = np.asarray(ctr_xyz, np.float32)[:, :3]
+    # normalize ``sub`` exactly like the kernel (_legal_sub): 0 /
+    # falsy disables the skip (whole-block granularity), non-divisors
+    # round down to the largest divisor of bk
+    if not sub:
+        sub = bk
+    else:
+        sub = min(sub, bk)
+        while bk % sub:
+            sub -= 1
     # the kernel's fused table is padded with one sentinel tile past P
     # (_slab_prep_fused), so the last tile of a window may read past P
     pad = np.full((tile, 3), 1e6, np.float32)
     cand_xyz = np.concatenate([cand_xyz, pad], axis=0)
     k = len(center_cell)
+    if k % bk:
+        # partial tail block: pad with sentinel cells/coords (matches
+        # slab_walk_pairs' ceil-div block handling)
+        kpad = bk - k % bk
+        center_cell = np.concatenate(
+            [center_cell, np.full(kpad, grid_g * grid_g, np.int64)]
+        )
+        ctr_xyz = np.concatenate(
+            [ctr_xyz, np.full((kpad, 3), -1e6, np.float32)], axis=0
+        )
+        k = len(center_cell)
     ncells = grid_g * grid_g
     r2 = np.float32(radius * radius)
     walked_rows = 0

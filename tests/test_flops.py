@@ -96,3 +96,56 @@ def test_slab_walk_counts_gap_column_partial_tiles():
     assert w["walked_pairs"] == (64 + 32 + 64 + 4 * 32 + 32 + 64 + 32) * bk
     assert w["span_pairs"] == 15 * 6 * bk
     assert w["tiles"] == 2 + 1 + 2 + 4 + 1 + 2 + 1
+
+
+def _subblock_workload(n_cand=200, n_ctr=45, g=8, cell=1.0, seed=3):
+    """Cell-sorted candidates + centers on a g x g grid (unit cells)."""
+    rng = np.random.default_rng(seed)
+    cand = rng.uniform(0, g * cell, (n_cand, 3)).astype(np.float32)
+    cand[:, 1] = 0.0
+    ctr = rng.uniform(0, g * cell, (n_ctr, 3)).astype(np.float32)
+    ctr[:, 1] = 0.0
+
+    def cells_of(xyz):
+        cx = np.clip((xyz[:, 0] // cell).astype(int), 0, g - 1)
+        cz = np.clip((xyz[:, 2] // cell).astype(int), 0, g - 1)
+        return cx * g + cz
+
+    ccells = cells_of(cand)
+    order = np.argsort(ccells, kind="stable")
+    cand, ccells = cand[order], ccells[order]
+    offsets = np.searchsorted(ccells, np.arange(g * g + 1))
+    kcells = cells_of(ctr)
+    korder = np.argsort(kcells, kind="stable")
+    return offsets, kcells[korder], cand, ctr[korder], g
+
+
+def test_slab_walk_subblock_edge_cases():
+    """sub=0 (the kernel's 'disabled' value), non-divisor sub, and a
+    center count that is not a multiple of bk must all work; walked
+    pairs must agree with slab_walk_pairs on the same workload."""
+    from pointgnn_tpu.utils import flops
+
+    offsets, kcells, cand, ctr, g = _subblock_workload(n_ctr=45)
+    bk, tile, r = 16, 8, 1.0
+    base = flops.slab_walk_pairs(offsets, kcells, g, bk=bk, tile=tile)
+    # sub=0 == whole-block granularity (the _legal_sub convention)
+    w0 = flops.slab_walk_pairs_subblock(
+        offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=0
+    )
+    wbk = flops.slab_walk_pairs_subblock(
+        offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=bk
+    )
+    assert w0 == wbk
+    assert w0["walked_pairs"] == base["walked_pairs"]
+    assert 0 < w0["computed_pairs"] <= w0["walked_pairs"]
+    # non-divisor sub rounds down to the largest divisor (16 % 6 -> 4)
+    w6 = flops.slab_walk_pairs_subblock(
+        offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=6
+    )
+    w4 = flops.slab_walk_pairs_subblock(
+        offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=4
+    )
+    assert w6 == w4
+    # finer skip granularity never computes MORE pairs
+    assert w4["computed_pairs"] <= w0["computed_pairs"]

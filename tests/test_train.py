@@ -604,6 +604,14 @@ def test_trainer_auto_routes_none_norm_to_device_graph(fetch_spec, tmp_path):
     from pointgnn_tpu.train.trainer import _all_norms_none
 
     assert _all_norms_none(config) and not _all_norms_none(bn_cfg)
+    # the bare 'normalization_type' key (no MLP-name prefix) must also
+    # block the auto-route — a predictor layer configured with it is
+    # not NONE-norm even though no '*_normalization_type' key says so
+    bare_cfg = copy.deepcopy(config)
+    bare_cfg["model_kwargs"]["layer_configs"][-1]["kwargs"][
+        "normalization_type"
+    ] = "batch_norm"
+    assert not _all_norms_none(bare_cfg)
 
 
 def test_resolve_device_setup_clears_preset_slab_flags():

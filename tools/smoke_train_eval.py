@@ -39,10 +39,18 @@ def run_oracle_gate(workdir):
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "oracle_reference_parity.py")
     out_json = os.path.join(workdir, "oracle_parity.json")
-    proc = subprocess.run(
-        [sys.executable, tool, "--frames", "4", "--out", out_json],
-        capture_output=True, text=True, timeout=1800,
-    )
+    # a reused workdir may hold a previous run's report — remove it so
+    # the gate can only ever read what THIS run's subprocess wrote
+    if os.path.exists(out_json):
+        os.remove(out_json)
+    try:
+        proc = subprocess.run(
+            [sys.executable, tool, "--frames", "4", "--out", out_json],
+            capture_output=True, text=True, timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        print("oracle: FAIL (tool timed out after 1800s)")
+        return False
     tail = "\n".join(proc.stdout.strip().splitlines()[-12:])
     print(tail)
     if proc.returncode != 0 and not os.path.exists(out_json):
