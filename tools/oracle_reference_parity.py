@@ -61,6 +61,14 @@ sys.path.insert(
 import numpy as np
 
 REFERENCE_CKPTS = "/root/reference/checkpoints"
+
+# A mask disagreement only counts as a mismatch if some disagreeing
+# row's prob is clearly away from the strict `> 1/num_classes` decode
+# gate; rows numerically AT the threshold on both sides are fp noise
+# flipping a strict compare (random-init probs cluster there), not a
+# conversion bug.  Observed cross-side prob diffs are ~2e-7; 1e-5
+# leaves ~50x headroom while still catching real decision changes.
+MASK_KNIFE_TOL = 1e-5
 # T0/T1 ship weight blobs (real-weight oracle); the rest ship only the
 # serialized meta graph and run as random-init ARCHITECTURE oracles
 DEFAULT_CHECKPOINTS = (
@@ -302,6 +310,7 @@ def detection_agreement(config, tf_out, jx_out, frames):
 
     label_map = LABEL_METHODS[config.get("label_method", "Car")][0]
     mask_mismatch = 0
+    mask_knife_edge = 0
     max_box_diff = 0.0
     nms_mismatch = 0
     nms_max_box_diff = 0.0
@@ -337,37 +346,66 @@ def detection_agreement(config, tf_out, jx_out, frames):
                 top_k=-1,
             )
             dets.append(
-                (mask, decoded[mask, 0], cls_l, boxes_3d, scores)
+                (mask, decoded[:, 0], probs, cls_l, boxes_3d, scores)
             )
-        if not np.array_equal(dets[0][0], dets[1][0]):
-            mask_mismatch += 1
-        elif dets[0][1].size:
+        m0, m1 = dets[0][0], dets[1][0]
+        if not np.array_equal(m0, m1):
+            # Knife-edge tolerance: the decode gate is a strict
+            # `probs > 1/num_classes` (run.py:272-276).  When a prob
+            # lands numerically AT the threshold on both sides (random
+            # -init probs cluster there), an ~1e-7 fp difference
+            # legitimately flips the strict compare — that is threshold
+            # noise, not a conversion bug.  Count a real mismatch only
+            # if some disagreeing row is clearly away from the
+            # threshold; otherwise compare boxes on the agreed rows.
+            diff = m0 != m1
+            thr = 1.0 / num_classes
+            knife = all(
+                np.all(np.abs(d[2][diff] - thr) <= MASK_KNIFE_TOL)
+                for d in dets
+            )
+            if not knife:
+                mask_mismatch += 1
+            else:
+                mask_knife_edge += 1
+                both = m0 & m1
+                if both.any():
+                    max_box_diff = max(
+                        max_box_diff,
+                        float(np.max(np.abs(
+                            dets[0][1][both] - dets[1][1][both]
+                        ))),
+                    )
+        elif m0.any():
             max_box_diff = max(
                 max_box_diff,
-                float(np.max(np.abs(dets[0][1] - dets[1][1]))),
+                float(np.max(np.abs(
+                    dets[0][1][m0] - dets[1][1][m0]
+                ))),
             )
         # NMS survivors: same count + same classes -> compare boxes
         if (
-            len(dets[0][3]) != len(dets[1][3])
-            or not np.array_equal(dets[0][2], dets[1][2])
+            len(dets[0][4]) != len(dets[1][4])
+            or not np.array_equal(dets[0][3], dets[1][3])
         ):
             nms_mismatch += 1
-        elif len(dets[0][3]):
+        elif len(dets[0][4]):
             nms_max_box_diff = max(
                 nms_max_box_diff,
                 float(np.max(np.abs(
-                    np.asarray(dets[0][3]) - np.asarray(dets[1][3])
+                    np.asarray(dets[0][4]) - np.asarray(dets[1][4])
                 ))),
             )
             nms_max_score_diff = max(
                 nms_max_score_diff,
                 float(np.max(np.abs(
-                    np.asarray(dets[0][4]) - np.asarray(dets[1][4])
+                    np.asarray(dets[0][5]) - np.asarray(dets[1][5])
                 ))),
             )
     return {
         "frames": len(frames),
         "mask_mismatch": mask_mismatch,
+        "mask_knife_edge": mask_knife_edge,
         "max_box_diff": max_box_diff,
         "nms_survivor_mismatch": nms_mismatch,
         "nms_max_box_diff": nms_max_box_diff,
@@ -419,6 +457,7 @@ def run_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS,
     agree = detection_agreement(config, tf_out, jx_out, frames)
     report["detections_frames"] = agree["frames"]
     report["detections_mask_mismatch"] = agree["mask_mismatch"]
+    report["detections_mask_knife_edge"] = agree["mask_knife_edge"]
     report["detections_max_box_diff"] = agree["max_box_diff"]
     report["detections_nms_survivor_mismatch"] = agree[
         "nms_survivor_mismatch"
