@@ -589,9 +589,11 @@ def build_padded_graph(
 
 def _warn_point_drop(n_in, num_points):
     if n_in > num_points:
-        import warnings
+        # deferred to the consuming thread when called from the
+        # trainer's prefetch worker (utils/thread_warnings)
+        from pointgnn_tpu.utils import thread_warnings
 
-        warnings.warn(
+        thread_warnings.warn(
             "point overflow: frame has %d points > device capacity %d; "
             "dropping %d (far-field detections may be lost — raise "
             "num_points in the DeviceGraphSpec)"

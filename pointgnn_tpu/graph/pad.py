@@ -283,9 +283,12 @@ def batch_and_pad(
     for li in range(num_levels + 1):
         nv = vertex_levels[li].shape[0]
         if nv > caps_v[li]:
-            import warnings
+            # thread_warnings.warn: defers to the consuming thread when
+            # called from the trainer's prefetch worker, plain
+            # warnings.warn otherwise
+            from pointgnn_tpu.utils import thread_warnings
 
-            warnings.warn(
+            thread_warnings.warn(
                 "vertex overflow at level %d: %d > capacity %d; "
                 "truncating (detections may be lost — raise the "
                 "GraphCapacity for this workload)" % (li, nv, caps_v[li]),
@@ -304,9 +307,9 @@ def batch_and_pad(
         e = edge_levels[li]
         e = e[(e[:, 0] < nv_src) & (e[:, 1] < nv_dst)]
         if len(e) > capacity.edges[li]:
-            import warnings
+            from pointgnn_tpu.utils import thread_warnings
 
-            warnings.warn(
+            thread_warnings.warn(
                 "edge overflow at level %d: %d > capacity %d; dropping "
                 "%d edges (balanced per center). Aggregated features "
                 "shift when the model was trained on uncapped "

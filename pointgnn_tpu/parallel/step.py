@@ -188,10 +188,15 @@ def make_union_sums_fn(
         )
         if vary_axis is not None:
             # under shard_map the scan carry must match the body's
-            # device-varying type; constants start unvarying
-            zero = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, (vary_axis,)), zero
+            # device-varying type; constants start unvarying.
+            # jax.lax.pcast(to="varying") is the current spelling;
+            # fall back to the pre-0.9 pvary on older jax.
+            _pvary = (
+                (lambda x: jax.lax.pcast(x, (vary_axis,), to="varying"))
+                if hasattr(jax.lax, "pcast")
+                else (lambda x: jax.lax.pvary(x, (vary_axis,)))
             )
+            zero = jax.tree_util.tree_map(_pvary, zero)
         acc, _ = jax.lax.scan(body, zero, (frames_batch, f_idx))
         if model._reg_fn is not None:
             from pointgnn_tpu.nn import mlp as _mlp

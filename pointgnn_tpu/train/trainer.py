@@ -303,6 +303,18 @@ class Trainer:
             )
         return jax.device_put(per_dev[0])
 
+    def _prepare_deferred(self, frame_indices):
+        """prepare_batch for the prefetch worker thread: capacity
+        -overflow warnings are recorded (utils/thread_warnings) instead
+        of raised — the warnings module's filter contexts are not
+        thread-safe — and returned for the train loop to emit on the
+        main thread when it consumes the batch."""
+        from pointgnn_tpu.utils import thread_warnings
+
+        with thread_warnings.deferred() as entries:
+            prepared = self.prepare_batch(frame_indices)
+        return prepared, entries
+
     def train_batch(self, frame_indices=None, prepared=None) -> Dict:
         """One optimizer step over batch_size frames."""
         if prepared is None:
@@ -424,17 +436,22 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                prepared = (
-                    next_input.result()
-                    if next_input is not None
-                    else self.prepare_batch(
+                if next_input is not None:
+                    prepared, deferred_warns = next_input.result()
+                    # main thread: overflow warnings recorded by the
+                    # prefetch worker fire here, where callers' filters
+                    # (catch_warnings/-W) behave deterministically
+                    from pointgnn_tpu.utils import thread_warnings
+
+                    thread_warnings.emit(deferred_warns)
+                else:
+                    prepared = self.prepare_batch(
                         order[batch_idx:batch_idx + self.batch_size]
                     )
-                )
                 if pos + 1 < len(starts):
                     nxt = starts[pos + 1]
                     next_input = input_executor.submit(
-                        self.prepare_batch,
+                        self._prepare_deferred,
                         order[nxt:nxt + self.batch_size],
                     )
                 else:

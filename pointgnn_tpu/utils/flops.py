@@ -162,15 +162,13 @@ def slab_walk_pairs_subblock(
     center_cell = np.asarray(center_cell, np.int64)
     cand_xyz = np.asarray(cand_xyz, np.float32)[:, :3]
     ctr_xyz = np.asarray(ctr_xyz, np.float32)[:, :3]
-    # normalize ``sub`` exactly like the kernel (_legal_sub): 0 /
-    # falsy disables the skip (whole-block granularity), non-divisors
-    # round down to the largest divisor of bk
-    if not sub:
-        sub = bk
-    else:
-        sub = min(sub, bk)
-        while bk % sub:
-            sub -= 1
+    # normalize ``sub`` with the kernel's own helper: 0 disables the
+    # skip entirely (the kernel then runs the MLP unconditionally, so
+    # computed == walked), non-divisors round down to the largest
+    # divisor of bk; sub == bk is whole-block-tile granularity skipping
+    from pointgnn_tpu.nn.pallas_kernels import _legal_sub
+
+    sub = _legal_sub(sub, bk)
     # the kernel's fused table is padded with one sentinel tile past P
     # (_slab_prep_fused), so the last tile of a window may read past P
     pad = np.full((tile, 3), 1e6, np.float32)
@@ -223,6 +221,12 @@ def slab_walk_pairs_subblock(
                 continue
             walked_rows += nt * tile
             tiles += nt
+            if sub == 0:
+                # skip disabled: the kernel executes every walked
+                # (block, tile) pair unconditionally
+                computed_subtiles += nt
+                computed_pairs += nt * tile * bk
+                continue
             rows = cand_xyz[base:base + nt * tile]      # [nt*tile, 3]
             d2 = (
                 ((ctr[:, None, :] - rows[None, :, :]) ** 2).sum(-1)

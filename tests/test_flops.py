@@ -129,16 +129,21 @@ def test_slab_walk_subblock_edge_cases():
     offsets, kcells, cand, ctr, g = _subblock_workload(n_ctr=45)
     bk, tile, r = 16, 8, 1.0
     base = flops.slab_walk_pairs(offsets, kcells, g, bk=bk, tile=tile)
-    # sub=0 == whole-block granularity (the _legal_sub convention)
+    # sub=0 disables the skip: the kernel runs the MLP on every walked
+    # (block, tile) pair, so computed == walked (the _legal_sub
+    # convention — 0 stays 0)
     w0 = flops.slab_walk_pairs_subblock(
         offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=0
     )
+    assert w0["walked_pairs"] == base["walked_pairs"]
+    assert w0["computed_pairs"] == w0["walked_pairs"]
+    # sub == bk is whole-block-tile granularity skipping: never MORE
+    # than unconditional
     wbk = flops.slab_walk_pairs_subblock(
         offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=bk
     )
-    assert w0 == wbk
-    assert w0["walked_pairs"] == base["walked_pairs"]
-    assert 0 < w0["computed_pairs"] <= w0["walked_pairs"]
+    assert wbk["walked_pairs"] == base["walked_pairs"]
+    assert 0 < wbk["computed_pairs"] <= w0["computed_pairs"]
     # non-divisor sub rounds down to the largest divisor (16 % 6 -> 4)
     w6 = flops.slab_walk_pairs_subblock(
         offsets, kcells, cand, ctr, g, r, bk=bk, tile=tile, sub=6
@@ -148,4 +153,4 @@ def test_slab_walk_subblock_edge_cases():
     )
     assert w6 == w4
     # finer skip granularity never computes MORE pairs
-    assert w4["computed_pairs"] <= w0["computed_pairs"]
+    assert w4["computed_pairs"] <= wbk["computed_pairs"]

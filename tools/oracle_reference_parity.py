@@ -76,6 +76,7 @@ DEFAULT_CHECKPOINTS = (
     "car_auto_T1_train",
     "car_auto_T2_train",
     "car_auto_T3_train",
+    "car_auto_T3_trainval",
     "car_fixed_T3_train",
     "ped_cyl_auto_T3_trainval",
 )
