@@ -70,7 +70,10 @@ def boxes_to_corners(
     local_y = np.concatenate([top_y, bot_y], axis=1)
     local = np.stack([local_x, local_y, local_z], axis=-1)  # [N, 8, 3]
     rot = yaw_rotation(yaw)  # [N, 3, 3]
-    rotated = np.einsum("nij,nkj->nki", rot, local)
+    # batched matmul, not einsum: BLAS accumulation order makes this
+    # BITWISE equal to the reference's per-box `corners.dot(R.T)`
+    # (nms.py:24) — the KITTI-text byte-identity oracle depends on it
+    rotated = np.matmul(local, rot.transpose(0, 2, 1))
     centers = np.stack([x, y, z], axis=-1)[:, None, :]
     return rotated + centers
 
@@ -101,8 +104,10 @@ def boxes_to_normals(
     normals = np.stack([wx, wy, wz], axis=1)  # [N, 3, 3]
     lo_pts = np.stack([corners[:, 4, :], corners[:, 1, :], corners[:, 3, :]], axis=1)
     hi_pts = np.stack([corners[:, 0, :], corners[:, 0, :], corners[:, 0, :]], axis=1)
-    lower = np.einsum("nij,nij->ni", normals, lo_pts)
-    upper = np.einsum("nij,nij->ni", normals, hi_pts)
+    # row-wise dot via matmul (not einsum) for bitwise parity with the
+    # reference's `np.matmul(w, corner)` bounds (kitti_dataset.py:931-940)
+    lower = np.matmul(normals[:, :, None, :], lo_pts[:, :, :, None])[:, :, 0, 0]
+    upper = np.matmul(normals[:, :, None, :], hi_pts[:, :, :, None])[:, :, 0, 0]
     return normals, lower, upper
 
 
@@ -113,7 +118,11 @@ def points_in_boxes(
 ) -> np.ndarray:
     """Boolean mask [N_boxes, N_points]: strict interior test on all 3 axes."""
     normals, lower, upper = boxes_to_normals(boxes, expand)
-    projected = np.einsum("bij,pj->bpi", normals, np.asarray(xyz, np.float64))
+    # batched matmul == the reference's per-box `matmul(xyz, normals.T)`
+    # (kitti_dataset.py:952) bitwise; einsum is a few ulp off
+    projected = np.matmul(
+        np.asarray(xyz, np.float64)[None, :, :], normals.transpose(0, 2, 1)
+    )
     inside = (projected > lower[:, None, :]) & (projected < upper[:, None, :])
     return inside.all(axis=-1)
 

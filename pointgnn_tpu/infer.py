@@ -87,6 +87,76 @@ def occlusion_score(box: np.ndarray, xyz: np.ndarray) -> float:
     return float(np.prod(spans / (upper - lower)))
 
 
+def detections_to_kitti_labels(
+    label_method: str,
+    class_labels: np.ndarray,
+    boxes_3d: np.ndarray,
+    scores: np.ndarray,
+    calib: Dict,
+    aux: Dict,
+    use_box_score: bool = True,
+) -> List[Tuple]:
+    """Project NMS survivors to 2D, clip, truncation-filter, occlusion
+    -rescore (run.py:360-421).  Returns KITTI label tuples.
+
+    Module-level so the parity oracle can byte-compare this tail
+    against a reference replay on identical NMS inputs;
+    :meth:`InferencePipeline.detections_to_kitti` delegates here.
+    ``aux`` carries ``hyp_xyz`` (all masked hypothesis coordinates —
+    run.py:399 rescales against the FULL masked set, not per class).
+    """
+    from pointgnn_tpu.data.kitti import KittiDataset
+
+    names = ALL_CLASS_NAMES[label_method]
+    pred_labels: List[Tuple] = []
+    if len(class_labels) == 0:
+        return pred_labels
+    corners = nms_lib.boxes_3d_to_corners(boxes_3d)
+    for i in range(len(corners)):
+        img_pts = KittiDataset.cam_points_to_image(
+            Points(xyz=corners[i], attr=None), calib
+        )
+        xy = img_pts.xyz[:, :2]
+        xmin, ymin = np.amin(xy, axis=0)
+        xmax, ymax = np.amax(xy, axis=0)
+        clip_xmin, clip_ymin = max(xmin, 0.0), max(ymin, 0.0)
+        clip_xmax = min(xmax, IMG_CLIP_W)
+        clip_ymax = min(ymax, IMG_CLIP_H)
+        truncation_rate = 1.0 - (clip_ymax - clip_ymin) * (
+            clip_xmax - clip_xmin
+        ) / ((ymax - ymin) * (xmax - xmin))
+        if truncation_rate > 0.4:
+            continue
+        x3d, y3d, z3d, l, h, w, yaw = boxes_3d[i]
+        assert l > 0, str(i)
+        score = scores[i]
+        if use_box_score:
+            inside = box_ops.points_in_box(aux["hyp_xyz"], boxes_3d[i])
+            score = (
+                1.0 + occlusion_score(boxes_3d[i], aux["hyp_xyz"][inside])
+            ) * score
+        pred_labels.append(
+            (
+                names[int(class_labels[i])], -1, -1, 0,
+                clip_xmin, clip_ymin, clip_xmax, clip_ymax,
+                h, w, l, x3d, y3d, z3d, yaw, score,
+            )
+        )
+    return pred_labels
+
+
+def format_kitti_lines(pred_labels: List[Tuple]) -> str:
+    """Exact reference file bytes (run.py:425-433): every field
+    ``str()``-ed with a trailing space, newline per label, one final
+    blank line."""
+    return (
+        "".join(
+            " ".join(str(v) for v in pred) + " \n" for pred in pred_labels
+        )
+        + "\n"
+    )
+
+
 class InferencePipeline:
     """Drives one config + parameter set over frames."""
 
@@ -703,44 +773,10 @@ class InferencePipeline:
     ) -> List[Tuple]:
         """Project to 2D, clip, truncation-filter, occlusion-rescore
         (run.py:360-421). Returns KITTI label tuples."""
-        from pointgnn_tpu.data.kitti import KittiDataset
-
-        names = ALL_CLASS_NAMES[self.label_method]
-        pred_labels = []
-        if len(class_labels) == 0:
-            return pred_labels
-        corners = nms_lib.boxes_3d_to_corners(boxes_3d)
-        for i in range(len(corners)):
-            img_pts = KittiDataset.cam_points_to_image(
-                Points(xyz=corners[i], attr=None), calib
-            )
-            xy = img_pts.xyz[:, :2]
-            xmin, ymin = np.amin(xy, axis=0)
-            xmax, ymax = np.amax(xy, axis=0)
-            clip_xmin, clip_ymin = max(xmin, 0.0), max(ymin, 0.0)
-            clip_xmax = min(xmax, IMG_CLIP_W)
-            clip_ymax = min(ymax, IMG_CLIP_H)
-            truncation_rate = 1.0 - (clip_ymax - clip_ymin) * (
-                clip_xmax - clip_xmin
-            ) / ((ymax - ymin) * (xmax - xmin))
-            if truncation_rate > 0.4:
-                continue
-            x3d, y3d, z3d, l, h, w, yaw = boxes_3d[i]
-            assert l > 0, str(i)
-            score = scores[i]
-            if self.use_box_score:
-                inside = box_ops.points_in_box(aux["hyp_xyz"], boxes_3d[i])
-                score = (
-                    1.0 + occlusion_score(boxes_3d[i], aux["hyp_xyz"][inside])
-                ) * score
-            pred_labels.append(
-                (
-                    names[int(class_labels[i])], -1, -1, 0,
-                    clip_xmin, clip_ymin, clip_xmax, clip_ymax,
-                    h, w, l, x3d, y3d, z3d, yaw, score,
-                )
-            )
-        return pred_labels
+        return detections_to_kitti_labels(
+            self.label_method, class_labels, boxes_3d, scores, calib,
+            aux, use_box_score=self.use_box_score,
+        )
 
     # ------------------------------------------------------------------
     def _write_kitti_txt(self, dataset, frame_idx, output_dir, pred_labels):
@@ -749,9 +785,7 @@ class InferencePipeline:
         )
         os.makedirs(os.path.dirname(filename), exist_ok=True)
         with open(filename, "w") as f:
-            for pred in pred_labels:
-                f.write(" ".join(str(v) for v in pred) + " \n")
-            f.write("\n")
+            f.write(format_kitti_lines(pred_labels))
 
     # ------------------------------------------------------------------
     def run_dataset(

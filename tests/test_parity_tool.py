@@ -175,3 +175,52 @@ def test_converter_rejects_incomplete_dumps(tmp_path):
     ))
     have = set(np.load(npz).keys())
     assert used <= have, sorted(used - have)[:5]
+
+
+def test_kitti_tail_byte_parity_with_reference_replay():
+    """``detections_to_kitti_labels`` + ``format_kitti_lines`` must emit
+    BYTE-identical label text to the oracle's independent numpy replay
+    of run.py:360-433 on identical NMS survivors.  This is the gate the
+    parity oracle applies per frame; here it runs TF-free on random
+    detections covering the truncation drop, the empty-inlier occlusion
+    case, and both label families."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from oracle_reference_parity import (
+        make_synthetic_calib,
+        ref_format_lines,
+        ref_tail_replay,
+    )
+
+    from pointgnn_tpu.infer import (
+        detections_to_kitti_labels,
+        format_kitti_lines,
+    )
+
+    calib = make_synthetic_calib()
+    rng = np.random.default_rng(7)
+    for method, n_cls in (("Car", 4), ("Pedestrian_and_Cyclist", 6)):
+        for trial in range(4):
+            n = int(rng.integers(0, 8))
+            boxes = np.zeros((n, 7))
+            boxes[:, 0] = rng.normal(0, 6, n)          # some project
+            boxes[:, 1] = rng.normal(1.6, 0.3, n)      # off-image ->
+            boxes[:, 2] = rng.uniform(3, 60, n)        # truncation drop
+            boxes[:, 3] = rng.uniform(0.5, 4.5, n)
+            boxes[:, 4] = rng.uniform(1.0, 2.0, n)
+            boxes[:, 5] = rng.uniform(0.4, 2.0, n)
+            boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+            cls = rng.integers(1, n_cls - 1, n)
+            scores = rng.uniform(1.0 / n_cls, 1.0, n)
+            # sparse hypothesis set: some boxes get zero inliers (the
+            # occlusion==0 branch)
+            hyp = np.vstack(
+                [boxes[: n // 2, :3] + rng.normal(0, 0.3, (n // 2, 3)),
+                 rng.normal(0, 30, (20, 3))]
+            ).astype(np.float32)
+            ours = detections_to_kitti_labels(
+                method, cls, boxes, scores, calib, {"hyp_xyz": hyp}
+            )
+            replay = ref_tail_replay(method, cls, boxes, scores, calib, hyp)
+            assert format_kitti_lines(ours) == ref_format_lines(replay), (
+                method, trial,
+            )

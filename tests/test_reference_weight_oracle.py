@@ -10,16 +10,19 @@ contract), and two of them — car_auto_T0_train and car_auto_T1_train —
 ship their weight blobs in this mount.
 
 Architecture oracle: the other variants ship only their serialized
-``.meta`` graphs; the meta graph's own initializers draw fresh weights
-in-session, those exact values are converted, and both sides run the
-same weights — covering T2/T3 depth, ``auto_offset: false``, and the
-6-class ped_cyl heads end to end.  Gated on pre-NMS agreement only
-(untrained scores are near-tied, greedy NMS order-unstable — see the
-tool docstring).
+``.meta`` graphs; the meta graph's own initializers draw fresh seeded
+weights in-session, those exact values are converted, and both sides
+run the same weights — covering T2/T3 depth, ``auto_offset: false``,
+and the 6-class ped_cyl heads end to end.
+
+Every run also gates the SPREAD leg (calibrated Background/DontCare
+bias for non-vacuous detection volume): merge-NMS survivor agreement
+and the byte-compared KITTI-text tail — see the tool docstring for why
+pure restored/random weights cannot feed those gates.
 
 Runs whenever tensorflow imports and the reference checkpoints are
 present; skipped otherwise.  See tools/oracle_reference_parity.py for
-the mechanics and PARITY_r04.json for the committed full-size run.
+the mechanics and PARITY_r05.json for the committed full-size run.
 """
 
 import glob
@@ -60,6 +63,19 @@ def _has(name, pattern):
     )
 
 
+def _assert_spread_and_tail_gates(rep):
+    """The calibrated-volume gates: merge-NMS survivors and the
+    KITTI-text tail (run.py:294-301 + :360-433).  Non-vacuity is part
+    of the gate — a 0-survivor run trivially 'agrees'."""
+    assert rep["spread_nms_inputs"] > 0, rep
+    assert rep["spread_mask_mismatch"] == 0, rep
+    assert rep["spread_nms_survivor_mismatch"] == 0, rep
+    assert rep["spread_nms_max_box_diff"] <= 1e-3, rep
+    assert rep["tail_byte_mismatch"] == 0, rep
+    assert rep["tail_cross_side_count_mismatch"] == 0, rep
+    assert rep["tail_cross_side_max_field_diff"] <= 1e-3, rep
+
+
 @pytest.mark.parametrize("name", REAL_WEIGHT)
 def test_real_weight_oracle(name):
     if not _has(name, "model-*.data-*"):
@@ -73,10 +89,7 @@ def test_real_weight_oracle(name):
     # 11-point-AP smoke cannot provide (PERF_NOTES knife-edge).
     assert rep["detections_mask_mismatch"] == 0, rep
     assert rep["detections_max_box_diff"] <= 1e-3, rep
-    # after the full box-merge NMS (run.py:294-301 default path) the
-    # SURVIVOR sets must match too — same boxes out the KITTI writer
-    assert rep["detections_nms_survivor_mismatch"] == 0, rep
-    assert rep["detections_nms_max_box_diff"] <= 1e-3, rep
+    _assert_spread_and_tail_gates(rep)
     # at least a few hundred output vertices per frame, else vacuous
     assert min(rep["num_output_vertices"]) > 100, rep
 
@@ -91,4 +104,27 @@ def test_architecture_oracle(name):
     assert rep["max_abs_diff_pred_box"] <= TOL, rep
     assert rep["detections_mask_mismatch"] == 0, rep
     assert rep["detections_max_box_diff"] <= 1e-3, rep
+    _assert_spread_and_tail_gates(rep)
     assert min(rep["num_output_vertices"]) > 100, rep
+
+
+def test_slab_serving_oracle():
+    """PRODUCTION path oracle (VERDICT r4 #1): converted weights x
+    on-device graph build x slab kernels x fused decode in one program
+    vs the reference TF tower on the identical uncapped runtime graph.
+    Gates hypothesis-set identity, per-hypothesis values, NMS
+    survivors, and the byte-compared text tail."""
+    name = "car_auto_T0_train"
+    if not _has(name, "model-*.data-*"):
+        pytest.skip("reference checkpoint blobs not in this mount")
+    from oracle_reference_parity import run_slab_oracle
+
+    rep = run_slab_oracle(name, num_frames=2, seed=0)
+    assert rep["detections_hypotheses"] > 0, rep
+    assert rep["detections_hyp_set_mismatch"] == 0, rep
+    assert rep["detections_max_hyp_box_diff"] <= 1e-3, rep
+    assert rep["detections_nms_survivor_mismatch"] == 0, rep
+    assert rep["detections_nms_max_box_diff"] <= 1e-3, rep
+    assert rep["tail_byte_mismatch"] == 0, rep
+    assert rep["tail_cross_side_count_mismatch"] == 0, rep
+    assert rep["tail_cross_side_max_field_diff"] <= 1e-3, rep

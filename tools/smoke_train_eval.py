@@ -46,10 +46,10 @@ def run_oracle_gate(workdir):
     try:
         proc = subprocess.run(
             [sys.executable, tool, "--frames", "4", "--out", out_json],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=3600,
         )
     except subprocess.TimeoutExpired:
-        print("oracle: FAIL (tool timed out after 1800s)")
+        print("oracle: FAIL (tool timed out after 3600s)")
         return False
     tail = "\n".join(proc.stdout.strip().splitlines()[-12:])
     print(tail)
@@ -75,6 +75,37 @@ def run_oracle_gate(workdir):
     print("oracle gate: %s (%d checkpoints)"
           % ("PASS" if ok else "FAIL", len(reports)))
     return bool(ok)
+
+
+def print_run_provenance(config, dataset):
+    """Chip-state + slab-overfetch stamps next to the AP table — the
+    same provenance bench.py records, so acceptance runs carry the
+    context needed to compare them against bench runs (the tunneled
+    chip's wall clock is bistable across processes; an AP/latency
+    reading without the probe is not comparable — docs/PERF_NOTES.md).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("provenance: backend=%s (no chip probe)"
+              % jax.default_backend())
+        return
+    from pointgnn_tpu.utils.chip import matmul_probe_tflops
+
+    probe = matmul_probe_tflops()
+    print("provenance: chip matmul probe %.1f TF/s (%s)"
+          % (probe, "ok" if probe >= 50.0 else "degraded"))
+    import bench
+    from pointgnn_tpu.graph import device_builder as db
+
+    points = dataset.get_cam_points_in_image_with_rgb(
+        0, config.get("downsample_by_voxel_size")
+    )
+    acct = bench.slab_accounting(
+        config, db.spec_from_config(config), points
+    )
+    print("provenance: slab overfetch L0 %.2fx  L1 %.2fx (frame 0)"
+          % (acct["l0_overfetch_x"], acct["l1_overfetch_x"]))
 
 
 def main():
@@ -293,6 +324,10 @@ def main():
           "(workdir %s)" % (aps["host"], aps["fast(on-device)"], work))
     print("bev_moderate AP (min over classes): host %.2f, fast %.2f"
           % (bev_aps["host"], bev_aps["fast(on-device)"]))
+    try:
+        print_run_provenance(config, dataset)
+    except Exception as exc:  # provenance must never fail the AP gate
+        print("provenance: unavailable (%r)" % (exc,))
     failed = False
     ap = min(aps.values())
     if args.min_ap >= 0 and ap < args.min_ap:
