@@ -276,7 +276,9 @@ class InferencePipeline:
             t_l1 = tuning.get("level1", tuning)
             t_l0 = tuning.get("level0", tuning)
             pick = lambda t: {  # noqa: E731
-                k: t[k] for k in ("block_centers", "tile", "sub") if k in t
+                k: t[k]
+                for k in ("block_centers", "tile", "sub", "zscan")
+                if k in t
             }
             slab_level1 = {
                 **slab_kernel_wiring(self.device_spec.level1),

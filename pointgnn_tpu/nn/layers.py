@@ -200,9 +200,12 @@ class PointSetPooling:
                 else pk.slab_edge_max
             )
             tuning = {
-                k: slab[k] for k in ("block_centers", "tile", "sub")
+                k: slab[k]
+                for k in ("block_centers", "tile", "sub", "zscan")
                 if k in slab
             }
+            if slab.get("train"):
+                tuning.pop("zscan", None)  # serving-kernel knob
             agg = slab_fn(
                 table_a, src4, table_b, ctr4,
                 slab["offsets"], slab["center_cell"],
@@ -503,9 +506,13 @@ class GraphNetAutoCenter:
                     else pk.slab_edge_max
                 )
                 tuning = {
-                    k: slab[k] for k in ("block_centers", "tile", "sub")
+                    k: slab[k]
+                    for k in ("block_centers", "tile", "sub",
+                              "zscan")
                     if k in slab
                 }
+                if slab.get("train"):
+                    tuning.pop("zscan", None)  # serving-only knob
                 agg = slab_fn(
                     table_a.astype(jnp.float32), src4,
                     table_b.astype(jnp.float32), ctr4,

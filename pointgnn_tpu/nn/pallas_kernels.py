@@ -302,17 +302,24 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                  *rest, num_weights: int, bk: int, tile: int, h: int,
                  h_pad: int, grid_g: int, radius: float, halo: int = 1,
                  compute_dtype: str = "bfloat16",
-                 clamp_out: bool = True, sub: int = 0):
+                 clamp_out: bool = True, sub: int = 0,
+                 zscan: str = "col"):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref = rest[num_weights]   # fused [P+tile, h_pad]: features
     #                                   in lanes [:h], xyz in [h:h+3]
-    out_ref = rest[num_weights + 1]
+    # zscan="precomp": per-(block, column) candidate row windows
+    # arrive precomputed (XLA-side column_row_windows) as two extra
+    # SMEM inputs, replacing the in-kernel per-column bk-scan
+    extra = 2 if zscan == "precomp" else 0
+    if extra:
+        win_lo_ref, win_hi_ref = rest[num_weights + 1:num_weights + 3]
+    out_ref = rest[num_weights + 1 + extra]
     # scratch: double-buffered (2, tile, h_pad) DMA tiles, the [bk,
     # h_out] max accumulator (VMEM-resident so the sub-block skip can
     # update it in place under pl.when — a lax.cond carry would copy
     # the accumulator through every miss), DMA semaphores
-    a_tiles, acc_buf, sems = rest[num_weights + 2:]
+    a_tiles, acc_buf, sems = rest[num_weights + 2 + extra:]
     ncells = grid_g * grid_g
     i = pl.program_id(0)
     row = i % 8  # cells arrive as (8, bk) SMEM blocks (sublane rule)
@@ -423,11 +430,32 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
             else:
                 pl.when(jnp.min(d2[lo_r:hi_r]) <= r2)(_do)
 
+    if zscan == "block":
+        # hoisted z-window: one bk-scan per PROGRAM over all valid
+        # cells (no per-column x-filter) instead of one per column.
+        # Superset window -> exact under max aggregation; walked tiles
+        # grow where a block's x-columns have distinct z-ranges
+        # (measured: +6% L1, +26% L0 at bench density — a net LOSS,
+        # kept only as the experiment knob; see PERF_NOTES round 5)
+        def blk_zscan(j, zcarry):
+            zlo, zhi = zcarry
+            cc = ccell_ref[row, j]
+            zj = cc % grid_g
+            use = cc < ncells
+            return (
+                jnp.where(use, jnp.minimum(zlo, zj), zlo),
+                jnp.where(use, jnp.maximum(zhi, zj), zhi),
+            )
+
+        bzlo, bzhi = jax.lax.fori_loop(
+            0, bk, blk_zscan, (jnp.int32(grid_g), jnp.int32(-1))
+        )
+
     def col_body(col, carry):
         x0 = jnp.maximum(cmin // grid_g - halo, 0)
         xc = x0 + col
 
-        def zscan(j, zcarry):
+        def col_zscan(j, zcarry):
             zlo, zhi = zcarry
             cc = ccell_ref[row, j]
             xj = cc // grid_g
@@ -438,14 +466,21 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                 jnp.where(use, jnp.maximum(zhi, zj), zhi),
             )
 
-        zlo, zhi = jax.lax.fori_loop(
-            0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
-        )
-        zlo_c = jnp.maximum(zlo - halo, 0)
-        zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
-        lo = offsets_ref[xc * grid_g + zlo_c]
-        hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
-        hi = jnp.where(zhi >= 0, hi_raw, lo)
+        if zscan == "precomp":
+            lo = win_lo_ref[row, xc]
+            hi = win_hi_ref[row, xc]
+        else:
+            if zscan == "block":
+                zlo, zhi = bzlo, bzhi
+            else:
+                zlo, zhi = jax.lax.fori_loop(
+                    0, bk, col_zscan, (jnp.int32(grid_g), jnp.int32(-1))
+                )
+            zlo_c = jnp.maximum(zlo - halo, 0)
+            zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
+            lo = offsets_ref[xc * grid_g + zlo_c]
+            hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
+            hi = jnp.where(zhi >= 0, hi_raw, lo)
         base = (lo // tile) * tile
         span = hi - base
         nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
@@ -489,11 +524,50 @@ def _slab_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         out_ref[:] = acc
 
 
+def column_row_windows(offsets, center_cell, grid_g, bk, halo):
+    """XLA-side replica of the kernel's per-(block, column) zscan.
+
+    For every center block and every grid column, the candidate row
+    window [lo, hi) the kernel would derive in its bk-long scalar scan
+    — computed once per frame on the VPU instead of per column on the
+    Mosaic scalar core, and handed to the kernel as two SMEM inputs
+    (``zscan="precomp"``).  Bit-exact with the in-kernel derivation
+    including the empty-column ``hi == lo`` sentinel collapse.
+
+    Returns ``(win_lo, win_hi)`` int32 [ceil(nb/8)*8, grid_g] (padded
+    to the (8, grid_g) SMEM sublane blocking).
+    """
+    ncells = grid_g * grid_g
+    cells = center_cell.reshape(-1, bk)
+    valid = cells < ncells
+    xs = cells // grid_g
+    zs = cells % grid_g
+    xc = jnp.arange(grid_g, dtype=jnp.int32)
+    use = valid[:, :, None] & (
+        jnp.abs(xs[:, :, None] - xc[None, None, :]) <= halo
+    )
+    zlo = jnp.min(
+        jnp.where(use, zs[:, :, None], grid_g), axis=1
+    )  # [nb, G]
+    zhi = jnp.max(jnp.where(use, zs[:, :, None], -1), axis=1)
+    zlo_c = jnp.maximum(zlo - halo, 0)
+    zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
+    lo = offsets[xc[None, :] * grid_g + zlo_c]
+    hi = jnp.where(
+        zhi >= 0, offsets[xc[None, :] * grid_g + zhi_c + 1], lo
+    )
+    pad = (-lo.shape[0]) % 8
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid_g", "radius", "block_centers", "tile", "interpret",
-        "compute_dtype", "halo", "sub",
+        "compute_dtype", "halo", "sub", "zscan",
     ),
 )
 def slab_edge_max(
@@ -517,6 +591,7 @@ def slab_edge_max(
     compute_dtype: str = "bfloat16",
     halo: int = 1,
     sub: int = SLAB_DEFAULT_SUB,
+    zscan: str = "col",
 ):
     """Fused uncapped radius search + edge MLP + per-center max.
 
@@ -545,6 +620,7 @@ def slab_edge_max(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
         compute_dtype, clamp_out=True, halo=halo, sub=sub,
+        zscan=zscan,
     )
 
 
@@ -603,7 +679,7 @@ def _legal_sub(sub, bk):
 def _slab_forward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    clamp_out, halo=1, sub=SLAB_DEFAULT_SUB,
+    clamp_out, halo=1, sub=SLAB_DEFAULT_SUB, zscan="col",
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     bk = _pick_bk(k, block_centers, "slab_edge_max")
@@ -627,13 +703,25 @@ def _slab_forward(
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),                 # fused table
     ]
+    extra_ins = []
+    if zscan == "precomp":
+        win_lo, win_hi = column_row_windows(
+            offsets, center_cell, grid_g, bk, halo
+        )
+        extra_ins = [win_lo, win_hi]
+        in_specs += [
+            pl.BlockSpec((8, grid_g), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, grid_g), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ]
     kernel = functools.partial(
         _slab_kernel,
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, h_pad=h_pad,
         grid_g=grid_g, radius=float(radius), halo=halo,
         compute_dtype=compute_dtype,
-        clamp_out=clamp_out, sub=sub,
+        clamp_out=clamp_out, sub=sub, zscan=zscan,
     )
     return pl.pallas_call(
         kernel,
@@ -651,7 +739,7 @@ def _slab_forward(
         ),
         interpret=interpret,
     )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
-      *weight_args, table_fused)
+      *weight_args, table_fused, *extra_ins)
 
 
 # ---------------------------------------------------------------------------
