@@ -909,3 +909,52 @@ def test_slab_edge_max_sub_block_skip_matches_unsplit():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_slab_zscan_modes_bitwise_identical():
+    """The three z-window derivations — in-kernel per-column scan
+    ("col"), hoisted per-block scan ("block"), and the XLA-precomputed
+    SMEM windows ("precomp", the serving default via
+    slab_kernel_wiring) — must be BITWISE identical: block/precomp only
+    change WHICH superset of candidates is walked, and max aggregation
+    with an exact distance test is superset-invariant."""
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import slab_edge_max
+
+    rng = np.random.default_rng(5)
+    K, H, g, r = 256, 64, 8, 2.0
+    tile, bk = 32, 16
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[240:] = False
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = np.where(valid, cx * g + cz, g * g)
+    order = np.argsort(cell, kind="stable")
+    xyz, cell, valid = xyz[order], cell[order], valid[order]
+    offsets = np.searchsorted(cell, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    src4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    src4[~valid] = 1e6
+    ctr4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    ctr4[~valid] = -1e6
+    outs = {}
+    for mode in ("col", "block", "precomp"):
+        outs[mode] = np.asarray(slab_edge_max(
+            jnp.asarray(A), jnp.asarray(src4), jnp.asarray(B),
+            jnp.asarray(ctr4), jnp.asarray(offsets),
+            jnp.asarray(cell.astype(np.int32)),
+            (jnp.asarray(w1), jnp.asarray(b1)),
+            grid_g=g, radius=r, block_centers=bk, tile=tile,
+            interpret=True, zscan=mode,
+        ))
+    assert np.array_equal(outs["col"], outs["precomp"])
+    assert np.array_equal(outs["col"], outs["block"])
+    assert np.abs(outs["col"]).sum() > 0  # non-vacuous

@@ -224,3 +224,60 @@ def test_kitti_tail_byte_parity_with_reference_replay():
             assert format_kitti_lines(ours) == ref_format_lines(replay), (
                 method, trial,
             )
+
+
+def test_survivor_set_diff_is_order_free_and_catches_mismatch():
+    """The oracle's survivor comparison must tolerate rank swaps from
+    near-equal scores (greedy NMS emits in score order; ~1e-5
+    cross-side noise legitimately permutes ties) while still flagging
+    genuinely different survivor sets."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from oracle_reference_parity import survivor_set_diff
+
+    cls_a = np.array([1, 1, 3])
+    boxes_a = np.array([
+        [0.0, 1.0, 10.0, 4, 1.5, 1.6, 0.1],
+        [5.0, 1.0, 20.0, 4, 1.5, 1.6, 0.2],
+        [-3.0, 1.0, 15.0, 1, 1.7, 0.6, 0.0],
+    ])
+    scores_a = np.array([0.9, 0.9000001, 0.5])
+    # same set, ranks 0/1 swapped, values off by fp noise
+    perm = [1, 0, 2]
+    ok, mb, ms = survivor_set_diff(
+        cls_a[perm], boxes_a[perm] + 1e-7, scores_a[perm],
+        cls_a, boxes_a, scores_a,
+    )
+    assert ok and mb <= 1e-6 and ms <= 1e-6, (ok, mb, ms)
+    # genuinely different box: matched pairing still succeeds but the
+    # max diff explodes past any gate
+    boxes_b = boxes_a.copy()
+    boxes_b[0, 0] += 2.5
+    ok, mb, _ = survivor_set_diff(
+        cls_a, boxes_a, scores_a, cls_a, boxes_b, scores_a
+    )
+    assert ok and mb > 1.0
+    # different class multiset -> hard mismatch
+    cls_b = np.array([1, 3, 3])
+    ok, mb, _ = survivor_set_diff(
+        cls_a, boxes_a, scores_a, cls_b, boxes_a, scores_a
+    )
+    assert not ok
+
+
+def test_calibrate_bg_bias_hits_target_count():
+    """The spread-leg bias search must land ~target survivors above the
+    strict prob > 1/C gate for an arbitrary logit distribution."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from oracle_reference_parity import calibrate_bg_bias
+
+    rng = np.random.default_rng(3)
+    for n_cls, scale in ((4, 2.0), (6, 5.0)):
+        logits = rng.normal(0, scale, (1500, n_cls))
+        b = calibrate_bg_bias(logits, target_survivors=40)
+        z = logits.copy()
+        z[:, 0] += b
+        z[:, -1] += b
+        e = np.exp(z - z.max(1, keepdims=True))
+        p = e / e.sum(1, keepdims=True)
+        count = int((p[:, 1:-1] > 1.0 / n_cls).sum())
+        assert 10 <= count <= 160, (n_cls, b, count)
