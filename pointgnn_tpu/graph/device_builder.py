@@ -369,12 +369,13 @@ def slab_kernel_wiring(level: LevelSpec) -> dict:
         "grid_g": slab_grid_of(level)[1],
         "radius": level.radius,
         "halo": level.slab_halo,
-        # serving default: per-(block, column) candidate windows are
-        # precomputed on the VPU (pallas_kernels.column_row_windows)
-        # instead of the kernel's per-column scalar zscan — bitwise
-        # identical, measured -4.3% (car_T3) / -5.0% (ped_cyl) stream
-        # latency (docs/PERF_NOTES.md round 5).  The train kernel has
-        # no precomp path; nn/layers pops this key for slab "train".
+        # default for BOTH serving and training: per-(block, column)
+        # candidate windows are precomputed on the VPU
+        # (pallas_kernels.column_row_windows) instead of the kernels'
+        # per-column scalar zscan — outputs and gradients bitwise
+        # identical (tested), measured -4.3% (car_T3) / -5.0%
+        # (ped_cyl) stream latency and -4.3% train step
+        # (docs/PERF_NOTES.md round 5).
         "zscan": "precomp",
     }
 

@@ -204,8 +204,6 @@ class PointSetPooling:
                 for k in ("block_centers", "tile", "sub", "zscan")
                 if k in slab
             }
-            if slab.get("train"):
-                tuning.pop("zscan", None)  # serving-kernel knob
             agg = slab_fn(
                 table_a, src4, table_b, ctr4,
                 slab["offsets"], slab["center_cell"],
@@ -511,8 +509,6 @@ class GraphNetAutoCenter:
                               "zscan")
                     if k in slab
                 }
-                if slab.get("train"):
-                    tuning.pop("zscan", None)  # serving-only knob
                 agg = slab_fn(
                     table_a.astype(jnp.float32), src4,
                     table_b.astype(jnp.float32), ctr4,

@@ -782,17 +782,24 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                      g_ref, acc_ref, *rest, num_weights: int, bk: int,
                      tile: int, h: int, h_pad: int, grid_g: int,
                      radius: float, compute_dtype: str, halo: int = 1,
-                     sub: int = 0):
+                     sub: int = 0, zscan: str = "col"):
     cdt = jnp.dtype(compute_dtype)
     weight_refs = rest[:num_weights]
     table_a_ref = rest[num_weights]   # fused [P+tile, h_pad], xyz in
     #                                   lanes [h:h+3] (forward layout)
     # rest[num_weights + 1] is the aliased d_table_a INPUT placeholder;
-    # read/write goes through the aliased OUTPUT ref below.
-    da_out_ref = rest[num_weights + 2]
-    db_out_ref = rest[num_weights + 3]
-    dw_refs = rest[num_weights + 4:num_weights + 4 + num_weights]
-    scratch = rest[num_weights + 4 + num_weights:]
+    # read/write goes through the aliased OUTPUT ref below.  With
+    # zscan="precomp" two window inputs follow it (same arrays the
+    # forward kernel gets — the backward walks identical columns).
+    extra = 2 if zscan == "precomp" else 0
+    if extra:
+        win_lo_ref, win_hi_ref = rest[num_weights + 2:num_weights + 4]
+    da_out_ref = rest[num_weights + 2 + extra]
+    db_out_ref = rest[num_weights + 3 + extra]
+    dw_refs = rest[
+        num_weights + 4 + extra:num_weights + 4 + extra + num_weights
+    ]
+    scratch = rest[num_weights + 4 + extra + num_weights:]
     a_tiles, da_tile, sems = scratch
     ncells = grid_g * grid_g
     i = pl.program_id(0)
@@ -995,7 +1002,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
         x0c = jnp.maximum(cmin // grid_g - halo, 0)
         xc = x0c + col
 
-        def zscan(j, zcarry):
+        def col_zscan(j, zcarry):
             zlo, zhi = zcarry
             cc = ccell_ref[row, j]
             xj = cc // grid_g
@@ -1006,14 +1013,18 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
                 jnp.where(use, jnp.maximum(zhi, zj), zhi),
             )
 
-        zlo, zhi = jax.lax.fori_loop(
-            0, bk, zscan, (jnp.int32(grid_g), jnp.int32(-1))
-        )
-        zlo_c = jnp.maximum(zlo - halo, 0)
-        zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
-        lo = offsets_ref[xc * grid_g + zlo_c]
-        hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
-        hi = jnp.where(zhi >= 0, hi_raw, lo)
+        if zscan == "precomp":
+            lo = win_lo_ref[row, xc]
+            hi = win_hi_ref[row, xc]
+        else:
+            zlo, zhi = jax.lax.fori_loop(
+                0, bk, col_zscan, (jnp.int32(grid_g), jnp.int32(-1))
+            )
+            zlo_c = jnp.maximum(zlo - halo, 0)
+            zhi_c = jnp.minimum(zhi + halo, grid_g - 1)
+            lo = offsets_ref[xc * grid_g + zlo_c]
+            hi_raw = offsets_ref[xc * grid_g + zhi_c + 1]
+            hi = jnp.where(zhi >= 0, hi_raw, lo)
         base = (lo // tile) * tile
         span = hi - base
         nt = jnp.where(span > 0, (span + tile - 1) // tile, 0)
@@ -1060,7 +1071,7 @@ def _slab_bwd_kernel(offsets_ref, ccell_ref, table_b_ref, ctr_xyz_ref,
 def _slab_backward(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     raw_acc, g, grid_g, radius, block_centers, tile, interpret,
-    compute_dtype, halo=1, sub=SLAB_DEFAULT_SUB,
+    compute_dtype, halo=1, sub=SLAB_DEFAULT_SUB, zscan="col",
 ):
     k, h = table_b.shape[0], table_a.shape[1]
     p = table_a.shape[0]
@@ -1070,6 +1081,11 @@ def _slab_backward(
         table_a, src_xyz, weights, tile, h, compute_dtype
     )
     da_init = jnp.zeros((p + tile, h_pad), jnp.float32)
+    extra_ins = []
+    if zscan == "precomp":
+        extra_ins = list(
+            column_row_windows(offsets, center_cell, grid_g, bk, halo)
+        )
 
     grid = (k // bk,)
     in_specs = [
@@ -1087,6 +1103,11 @@ def _slab_backward(
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),                 # fused table
         pl.BlockSpec(memory_space=pl.ANY),                 # da_init
+    ]
+    in_specs += [
+        pl.BlockSpec((8, grid_g), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM)
+        for _ in extra_ins
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),                        # d_table_a
@@ -1110,7 +1131,7 @@ def _slab_backward(
         num_weights=len(weight_args),
         bk=bk, tile=tile, h=h, h_pad=h_pad, grid_g=grid_g,
         radius=float(radius), compute_dtype=compute_dtype, halo=halo,
-        sub=sub,
+        sub=sub, zscan=zscan,
     )
     n_in_before_da = 6 + len(weight_args) + 1
     outs = pl.pallas_call(
@@ -1131,7 +1152,7 @@ def _slab_backward(
         ),
         interpret=interpret,
     )(offsets, center_cell.reshape(k // bk, bk), table_b, ctr_xyz,
-      g, raw_acc, *weight_args, table_fused, da_init)
+      g, raw_acc, *weight_args, table_fused, da_init, *extra_ins)
     d_table_a = outs[0][:p, :h]
     d_table_b = outs[1]
     d_weights = []
@@ -1144,12 +1165,12 @@ def _slab_backward(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _slab_train_p(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    halo=1, sub=SLAB_DEFAULT_SUB,
+    halo=1, sub=SLAB_DEFAULT_SUB, zscan="col",
 ):
     # All array inputs are PRIMALS (never close over tracers in a
     # custom_vjp — it leaks them across the remat/jit trace boundary);
@@ -1157,19 +1178,19 @@ def _slab_train_p(
     return _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=True, halo=halo, sub=sub,
+        compute_dtype, clamp_out=True, halo=halo, sub=sub, zscan=zscan,
     )
 
 
 def _slab_train_fwd(
     table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell, weights,
     grid_g, radius, block_centers, tile, interpret, compute_dtype,
-    halo=1, sub=SLAB_DEFAULT_SUB,
+    halo=1, sub=SLAB_DEFAULT_SUB, zscan="col",
 ):
     raw = _slab_forward(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, clamp_out=False, halo=halo, sub=sub,
+        compute_dtype, clamp_out=False, halo=halo, sub=sub, zscan=zscan,
     )
     out = jnp.where(raw > NEG / 2, raw, 0.0)
     res = (table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
@@ -1179,7 +1200,7 @@ def _slab_train_fwd(
 
 def _slab_train_bwd(
     grid_g, radius, block_centers, tile, interpret, compute_dtype, halo,
-    sub, res, g,
+    sub, zscan, res, g,
 ):
     import numpy as _np
 
@@ -1189,7 +1210,7 @@ def _slab_train_bwd(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         weights, raw, g.astype(jnp.float32), grid_g, radius,
         block_centers, tile, interpret, compute_dtype, halo=halo,
-        sub=sub,
+        sub=sub, zscan=zscan,
     )
     float0 = jax.dtypes.float0
     return (
@@ -1222,6 +1243,7 @@ def slab_edge_max_train(
     compute_dtype: str = "bfloat16",
     halo: int = 1,
     sub: int = SLAB_DEFAULT_SUB,
+    zscan: str = "col",
 ):
     """Differentiable :func:`slab_edge_max` for the training path.
 
@@ -1238,5 +1260,5 @@ def slab_edge_max_train(
     return _slab_train_p(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         tuple(weights), grid_g, radius, block_centers, tile, interpret,
-        compute_dtype, halo, sub,
+        compute_dtype, halo, sub, zscan,
     )

@@ -958,3 +958,60 @@ def test_slab_zscan_modes_bitwise_identical():
     assert np.array_equal(outs["col"], outs["precomp"])
     assert np.array_equal(outs["col"], outs["block"])
     assert np.abs(outs["col"]).sum() > 0  # non-vacuous
+
+
+def test_slab_train_zscan_precomp_grads_bitwise():
+    """The train kernels (custom-VJP fwd + bwd) under zscan="precomp"
+    must produce bitwise-identical value AND gradients to the in-kernel
+    scan: the backward walks the same columns with the same [lo, hi)
+    span masks, only the window derivation moves to XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointgnn_tpu.nn.pallas_kernels import slab_edge_max_train
+
+    rng = np.random.default_rng(4)
+    K, H, g, r = 256, 64, 8, 2.0
+    xyz = np.stack(
+        [rng.uniform(0, 14, K), rng.uniform(-1, 1, K),
+         rng.uniform(0, 14, K)], 1
+    ).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[240:] = False
+    cx = np.clip((xyz[:, 0] // r).astype(int), 0, g - 1)
+    cz = np.clip((xyz[:, 2] // r).astype(int), 0, g - 1)
+    cell = np.where(valid, cx * g + cz, g * g)
+    order = np.argsort(cell, kind="stable")
+    xyz, cell, valid = xyz[order], cell[order], valid[order]
+    offsets = np.searchsorted(cell, np.arange(g * g + 1)).astype(np.int32)
+    A = rng.normal(size=(K, H)).astype(np.float32)
+    B = rng.normal(size=(K, H)).astype(np.float32)
+    w1 = (rng.normal(size=(H, H)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(H,)) * 0.1).astype(np.float32)
+    src4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    src4[~valid] = 1e6
+    ctr4 = np.concatenate([xyz, np.zeros((K, 1), np.float32)], 1)
+    ctr4[~valid] = -1e6
+    gct = rng.normal(size=(K, H)).astype(np.float32)
+
+    def run(mode):
+        def f(a, b, w, bb):
+            out = slab_edge_max_train(
+                a, src4, b, ctr4, jnp.asarray(offsets),
+                jnp.asarray(cell.astype(np.int32)), (w, bb),
+                grid_g=g, radius=r, block_centers=16, tile=32,
+                interpret=True, zscan=mode,
+            )
+            return jnp.sum(out * gct)
+
+        return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(w1),
+            jnp.asarray(b1),
+        )
+
+    vc, gc = run("col")
+    vp, gp = run("precomp")
+    assert np.array_equal(np.asarray(vc), np.asarray(vp))
+    for a, b in zip(gc, gp):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(a)).sum() > 0  # non-vacuous
