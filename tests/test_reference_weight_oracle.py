@@ -43,7 +43,7 @@ from oracle_reference_parity import (  # noqa: E402
 )
 
 # f32 CPU-vs-CPU gate: observed max-abs-diff is ~7e-6 on logits at
-# scale ~10 (PARITY_r04.json); 1e-4 leaves ~15x headroom while still
+# scale ~10 (PARITY_r05.json); 1e-4 leaves ~15x headroom while still
 # catching any conversion or layer-semantics regression.
 TOL = 1e-4
 

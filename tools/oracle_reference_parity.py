@@ -79,7 +79,7 @@ input is ``t_logits``, and ``t_pred_box`` is the predictor's
 
 Usage:
     python tools/oracle_reference_parity.py [--frames N] [--seed S] \
-        [--out PARITY_r04.json] [--checkpoints car_auto_T0_train ...]
+        [--out PARITY_r05.json] [--checkpoints car_auto_T0_train ...]
 
 Requires tensorflow (installed in this environment); runs on CPU.
 """
