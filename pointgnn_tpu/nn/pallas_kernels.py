@@ -1257,6 +1257,13 @@ def slab_edge_max_train(
     keeps per-layer activations for one (bk*tile)-row tile in VMEM,
     which is the same 1024 rows either way.
     """
+    if zscan not in ("col", "precomp"):
+        # the backward kernel has no "block" walk — silently mixing a
+        # block forward with a col backward would corrupt any A/B
+        raise ValueError(
+            "slab_edge_max_train supports zscan 'col' or 'precomp', "
+            "got %r" % (zscan,)
+        )
     return _slab_train_p(
         table_a, src_xyz, table_b, ctr_xyz, offsets, center_cell,
         tuple(weights), grid_g, radius, block_centers, tile, interpret,

@@ -276,8 +276,10 @@ def tf_forward(ckpt_dir, frames, random_init=False, target_logit_std=2.0,
     ``random_init=True`` is the ARCHITECTURE oracle for checkpoints
     whose ``.data`` blobs are absent from the mount (T2/T3/fixed/
     ped_cyl ship only ``.meta`` + ``.index``): instead of restoring,
-    the meta graph's own initializers draw fresh weights (seeded —
-    reproducible), with the cls head's FINAL dense layer
+    fresh weights are drawn at each variable's own initializer scale —
+    deterministically from numpy, since graph-level TF seeding cannot
+    reach initializer ops imported from a ``.meta`` graph (see the
+    in-code note) — with the cls head's FINAL dense layer
     (gnn.py:146-150's ``predictor/cls/fully_connected_1``) rescaled
     adaptively so frame-0 logits have std ``target_logit_std`` (real
     spread without f32 softmax saturation — a fixed large scale
@@ -351,11 +353,44 @@ def tf_forward(ckpt_dir, frames, random_init=False, target_logit_std=2.0,
                 head_pat = re.compile(
                     r"predictor/cls/fully_connected_1/(weights|biases)$"
                 )
-                # without the seed, TF draws different weights every
-                # run and the survivor statistics (the gate's stability
-                # margin) are irreproducible
-                tf1.set_random_seed(seed)
                 sess.run(tf1.global_variables_initializer())
+                # REPRODUCIBILITY: graph-level seeding cannot reach
+                # initializer ops imported from a .meta graph (their
+                # seed attrs are baked into the NodeDefs — verified:
+                # set_random_seed after import_meta_graph still draws
+                # different weights each run).  So re-draw every
+                # variable DETERMINISTICALLY from numpy, preserving
+                # each variable's own initializer scale (the std of
+                # the TF draw; zero-std constants — biases — keep
+                # their values).
+                import zlib
+
+                reseed_ops = []
+                for v in tf1.global_variables():
+                    drawn = np.asarray(sess.run(v))
+                    if drawn.std() == 0 or drawn.ndim < 2:
+                        continue  # biases/constants keep their values
+                    # Xavier std from the SHAPE (the slim dense
+                    # layers' init family), not from the drawn values
+                    # — a sampled std carries ~1% per-run noise that
+                    # would leak the nondeterminism right back in
+                    fan_in = int(np.prod(drawn.shape[:-1]))
+                    fan_out = int(drawn.shape[-1])
+                    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+                    # crc32, not hash(): str hash is salted per
+                    # process (PYTHONHASHSEED) and would undo the
+                    # determinism this exists for
+                    vrng = np.random.RandomState(
+                        (seed + zlib.crc32(v.op.name.encode()))
+                        % (2 ** 31)
+                    )
+                    reseed_ops.append(tf1.assign(
+                        v,
+                        vrng.normal(0.0, std, drawn.shape)
+                        .astype(drawn.dtype),
+                    ))
+                if reseed_ops:
+                    sess.run(reseed_ops)
                 init_logits = sess.run(io["logits"], _feed(frames[0]))
                 head_scale = target_logit_std / max(
                     float(np.std(init_logits[:, 1:-1])), 1e-6
@@ -387,19 +422,6 @@ def tf_forward(ckpt_dir, frames, random_init=False, target_logit_std=2.0,
             vars_spread = dump()
             outs_spread = run_frames()
     return outs, outs_spread, vars_base, vars_spread
-
-
-def dump_variables(ckpt_dir):
-    """Checkpoint variables as {name: np.ndarray} (the .npz dump the
-    converter documents, done in-process)."""
-    import tensorflow as tf
-
-    prefix = tf.compat.v1.train.latest_checkpoint(ckpt_dir)
-    reader = tf.train.load_checkpoint(prefix)
-    return {
-        k: np.asarray(reader.get_tensor(k))
-        for k in reader.get_variable_to_shape_map()
-    }
 
 
 def jax_forward(config, tf_vars, frames):
@@ -502,7 +524,8 @@ def run_merge_nms(config, sel_labels, sel_boxes, sel_probs):
     )
 
 
-def decode_mask_nms(config, probs2d, pred_box, centers, exclude=None):
+def decode_mask_nms(config, probs2d, pred_box, centers, exclude=None,
+                    nms=True):
     """Decode one side per run.py:264-291 and run the full box-merge
     NMS (run.py:294-301 default path).
 
@@ -512,7 +535,9 @@ def decode_mask_nms(config, probs2d, pred_box, centers, exclude=None):
     their inclusion legitimately, and one flipped row changes the
     box-merge average by meters.  The returned ``mask`` is the RAW
     decode mask (pre-exclusion) so mask-agreement gates keep their
-    semantics.
+    semantics.  ``nms=False`` stops after decode+mask (empty survivor
+    fields) — for callers that run their own de-noised NMS, the greedy
+    merge is the tool's slowest host stage and need not run twice.
 
     Returns ``{mask, decoded, probs, cls, boxes, scores, hyp_xyz}``
     where the first three are per-hypothesis ([K*C]) and the last four
@@ -542,9 +567,14 @@ def decode_mask_nms(config, probs2d, pred_box, centers, exclude=None):
         & (probs > 1.0 / num_classes)
     )
     nms_in = mask if exclude is None else (mask & ~exclude)
-    cls_l, boxes_3d, scores = run_merge_nms(
-        config, labels[nms_in], decoded[nms_in, 0], probs[nms_in]
-    )
+    if nms:
+        cls_l, boxes_3d, scores = run_merge_nms(
+            config, labels[nms_in], decoded[nms_in, 0], probs[nms_in]
+        )
+    else:
+        cls_l = np.zeros(0, np.int64)
+        boxes_3d = np.zeros((0, 7))
+        scores = np.zeros(0)
     return {
         "mask": mask,
         "decoded": decoded[:, 0],
@@ -1056,7 +1086,11 @@ def run_slab_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
             k = pos[key_of(sel_xyz[j])]
             dev[(k, int(sel_cls[j]))] = j
         probs_tf = out["probs"].reshape(-1)
-        d_tf = decode_mask_nms(config, out["probs"], out["pred_box"], vkp)
+        # nms=False: only mask + decoded are consumed here; the gated
+        # NMS runs below on the de-noised hypothesis set
+        d_tf = decode_mask_nms(
+            config, out["probs"], out["pred_box"], vkp, nms=False
+        )
         # symmetric knife-edge exclusion: the device thresholds in f32
         # on device, the TF side in f64 on host — a prob numerically AT
         # 1/C flips the strict compare legitimately
