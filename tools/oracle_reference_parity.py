@@ -379,9 +379,14 @@ def tf_forward(ckpt_dir, frames, random_init=False, target_logit_std=2.0,
                     std = float(np.sqrt(2.0 / (fan_in + fan_out)))
                     # crc32, not hash(): str hash is salted per
                     # process (PYTHONHASHSEED) and would undo the
-                    # determinism this exists for
+                    # determinism this exists for.  The checkpoint dir
+                    # folds in so same-architecture variants (T3_train
+                    # vs T3_trainval) still draw DIFFERENT weights.
                     vrng = np.random.RandomState(
-                        (seed + zlib.crc32(v.op.name.encode()))
+                        (seed
+                         + zlib.crc32(v.op.name.encode())
+                         + zlib.crc32(
+                             os.path.basename(ckpt_dir).encode()))
                         % (2 ** 31)
                     )
                     reseed_ops.append(tf1.assign(
