@@ -128,3 +128,37 @@ def test_slab_serving_oracle():
     assert rep["tail_byte_mismatch"] == 0, rep
     assert rep["tail_cross_side_count_mismatch"] == 0, rep
     assert rep["tail_cross_side_max_field_diff"] <= 1e-3, rep
+
+
+def test_architecture_oracle_draws_are_reproducible():
+    """Regression for the ineffective-TF-seeding bug: graph-level
+    set_random_seed cannot reach initializer ops imported from a .meta
+    graph, so the tool re-draws weights deterministically from numpy.
+    Two runs must produce byte-identical variable dumps (and therefore
+    byte-identical oracle reports)."""
+    name = "car_auto_T3_train"
+    if not _has(name, "model-*.meta"):
+        pytest.skip("reference meta graph not in this mount")
+    import numpy as np
+
+    from oracle_reference_parity import make_frames, tf_forward
+    from pointgnn_tpu.utils.config_io import load_config
+
+    ckpt = os.path.join(REFERENCE_CKPTS, name)
+    config = load_config(os.path.join(ckpt, "config"))
+    frames = make_frames(config, 1, 0)
+    _, _, base_a, spread_a = tf_forward(ckpt, frames, random_init=True,
+                                        seed=0)
+    _, _, base_b, spread_b = tf_forward(ckpt, frames, random_init=True,
+                                        seed=0)
+    assert sorted(base_a) == sorted(base_b)
+    for k in base_a:
+        assert np.array_equal(base_a[k], base_b[k]), k
+    for k in spread_a:
+        assert np.array_equal(spread_a[k], spread_b[k]), k
+    # and a different seed draws different weights
+    _, _, base_c, _ = tf_forward(ckpt, frames, random_init=True, seed=1)
+    assert any(
+        not np.array_equal(base_a[k], base_c[k])
+        for k in base_a if base_a[k].std() > 0
+    )
