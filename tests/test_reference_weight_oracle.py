@@ -74,6 +74,8 @@ def _assert_spread_and_tail_gates(rep):
     assert rep["tail_byte_mismatch"] == 0, rep
     assert rep["tail_cross_side_count_mismatch"] == 0, rep
     assert rep["tail_cross_side_max_field_diff"] <= 1e-3, rep
+    # vacuity: two empty label files are trivially byte-identical
+    assert rep["tail_labels_emitted"] > 0, rep
 
 
 @pytest.mark.parametrize("name", REAL_WEIGHT)
@@ -128,6 +130,7 @@ def test_slab_serving_oracle():
     assert rep["tail_byte_mismatch"] == 0, rep
     assert rep["tail_cross_side_count_mismatch"] == 0, rep
     assert rep["tail_cross_side_max_field_diff"] <= 1e-3, rep
+    assert rep["tail_labels_emitted"] > 0, rep
 
 
 def test_architecture_oracle_draws_are_reproducible():

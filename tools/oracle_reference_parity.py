@@ -858,8 +858,9 @@ def kitti_tail_gate(label_method, dets_pairs, use_box_score=True):
             )
             if format_kitti_lines(ours) != ref_format_lines(replay):
                 byte_mismatch += 1
-            labels_emitted += len(ours)
             sides.append(ours)
+        # per-side-0 count (summing both sides double-counted)
+        labels_emitted += len(sides[0])
         a, b = sides
         # order-free matching (same rationale as survivor_set_diff:
         # near-equal scores swap emit order across sides): pair each
@@ -1077,19 +1078,25 @@ def run_slab_oracle(name, num_frames=4, seed=0, ckpt_root=REFERENCE_CKPTS):
         )
         keep = np.flatnonzero(scores > 0)
         num_hypotheses += len(keep)
-        # match device hypotheses (keypoint coords, class) to TF rows —
-        # the exported keypoints are the device-built set, so every
-        # kept hypothesis must find its row.  Keys go through f64
-        # BEFORE rounding: the same f32 value rounds to different
-        # f32/f64 reprs otherwise
-        def key_of(x):
-            return tuple(np.round(np.asarray(x, np.float64), 4).tolist())
-
-        pos = {key_of(vkp[i]): i for i in range(len(vkp))}
+        # match device hypotheses (keypoint coords, class) to TF rows
+        # by NEAREST keypoint — not a rounded-coordinate dict, which
+        # would (a) crash with KeyError on the exact drift this oracle
+        # exists to gate and (b) silently collide when two keypoints
+        # round to the same 1e-4 key.  A kept hypothesis farther than
+        # 1e-3 from every exported keypoint counts as a set mismatch.
+        vkp64 = np.asarray(vkp, np.float64)
         dev = {}
+        match_fail = False
         for j in keep:
-            k = pos[key_of(sel_xyz[j])]
+            d = np.abs(vkp64 - sel_xyz[j][None, :]).max(axis=1)
+            k = int(np.argmin(d))
+            if d[k] > 1e-3:
+                match_fail = True
+                break
             dev[(k, int(sel_cls[j]))] = j
+        if match_fail:
+            hyp_set_mismatch += 1
+            continue
         probs_tf = out["probs"].reshape(-1)
         # nms=False: only mask + decoded are consumed here; the gated
         # NMS runs below on the de-noised hypothesis set
@@ -1313,6 +1320,8 @@ def main():
             and rep["tail_byte_mismatch"] == 0
             and rep["tail_cross_side_count_mismatch"] == 0
             and rep["tail_cross_side_max_field_diff"] <= 1e-3
+            and rep["tail_labels_emitted"] > 0  # vacuity guard: two
+            #   empty label files are trivially byte-identical
         )
         rep["pass"] = bool(ok)
         rep["tol"] = args.tol
@@ -1338,6 +1347,7 @@ def main():
                 and srep["tail_byte_mismatch"] == 0
                 and srep["tail_cross_side_count_mismatch"] == 0
                 and srep["tail_cross_side_max_field_diff"] <= 1e-3
+                and srep["tail_labels_emitted"] > 0  # vacuity guard
             )
             srep["pass"] = bool(sok)
             failed |= not sok
